@@ -1,0 +1,61 @@
+"""Headline benchmark: images/sec/chip, 640x640 bs=32, fused pipeline (config #2).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the driver.
+vs_baseline is value / 5000 (BASELINE.json north star: >=5,000 img/s/chip on
+v5e). Runs on whatever jax.default_backend() provides — the real TPU chip
+under the driver. The full 5-config suite lives in tpucenterface/bench/.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpucenterface.config import DetectorConfig
+    from tpucenterface.detector import Detector
+
+    batch, side = 32, 640
+    det = Detector(config=DetectorConfig())
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (batch, side, side, 3), np.uint8)
+    hws = np.tile(np.array([[side, side]], np.int32), (batch, 1))
+    fn = det._batch_fn(batch, (side, side), side)
+
+    j_imgs = jnp.asarray(imgs)
+    j_hws = jnp.asarray(hws)
+    # warmup / compile
+    boxes, scores = fn(j_imgs, j_hws)
+    jax.block_until_ready((boxes, scores))
+
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        boxes, scores = fn(j_imgs, j_hws)
+    jax.block_until_ready((boxes, scores))
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip @640x640 bs32 fused",
+                "value": round(ips, 2),
+                "unit": "img/s",
+                "vs_baseline": round(ips / 5000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""Frozen configuration dataclasses for the whole framework.
+
+Capability contract: SURVEY.md §0 [B] (BASELINE.json north-star). The reference
+tree (`/root/reference`) has been an EMPTY mount every session, so constants
+that would normally carry a reference `file:line` citation are instead tagged
+``UNVERIFIED-vs-reference`` below. They are all centralized here so that a
+future session with the real tree can fix them in one place (SURVEY.md §7
+"Hard parts: parity without the reference tree").
+
+Values chosen follow the canonical CenterNet/CenterFace family defaults
+(SURVEY.md §2 [K]):
+- ImageNet-ish mean/std used by CenterNet ctdet (mean/std below).
+- stride 4 output, heatmap prior bias -log((1-0.01)/0.01).
+- MobileNetV2 inverted-residual settings, FPN-lite to 24 channels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of backbone + neck + heads.
+
+    UNVERIFIED-vs-reference: width_mult, fpn_channels, head_conv, relu6 —
+    chosen per the CenterFace/MobileNetV2 family defaults (SURVEY.md §2 C1-C3).
+    """
+
+    # MobileNetV2 inverted-residual settings: (expand_t, channels, repeats, stride)
+    inverted_residual_setting: Tuple[Tuple[int, int, int, int], ...] = (
+        (1, 16, 1, 1),
+        (6, 24, 2, 2),   # -> stride 4 skip
+        (6, 32, 3, 2),   # -> stride 8 skip
+        (6, 64, 4, 2),
+        (6, 96, 3, 1),   # -> stride 16 skip
+        (6, 160, 3, 2),
+        (6, 320, 1, 1),  # -> stride 32 top
+    )
+    stem_channels: int = 32
+    width_mult: float = 1.0
+    fpn_channels: int = 24      # FPN-lite lateral width (CenterFace uses 24)
+    head_conv: int = 24         # hidden width of each head's 3x3 conv; 0 = single 1x1
+    num_classes: int = 1        # face
+    with_landmarks: bool = False  # optional 5-point landmark head (10ch), stretch goal
+    relu6: bool = True
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.9
+    # Prior-probability init of the heatmap head bias: -log((1-p)/p), p=0.01.
+    hm_bias_init: float = -4.59511985013459
+    # Conv/matmul compute dtype on TPU; heads are always computed/cast to f32.
+    compute_dtype: str = "bfloat16"
+
+    def width(self, c: int) -> int:
+        """Apply width multiplier, rounding to multiple of 8 (MobileNet rule)."""
+        if self.width_mult == 1.0:
+            return c
+        v = int(c * self.width_mult + 4) // 8 * 8
+        return max(8, v)
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    """CenterNet decode: sigmoid -> 3x3 maxpool pseudo-NMS -> top-k -> gather.
+
+    UNVERIFIED-vs-reference: max_dets (K), wh_log, score_thresh defaults.
+    """
+
+    stride: int = 4
+    max_dets: int = 200          # K of the top-k peak extraction
+    score_thresh: float = 0.35   # demo threshold; eval uses a much lower one
+    # If True, box sizes are exp(wh) (CenterFace-style log-size head);
+    # if False, raw wh at feature-map scale (canonical CenterNet ctdet).
+    wh_log: bool = False
+    use_pallas: bool = True      # fused Pallas decode kernel vs. pure-jnp golden
+
+
+# ---------------------------------------------------------------------------
+# Preprocess
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    """Device-side letterbox + mean/std normalization.
+
+    UNVERIFIED-vs-reference: mean/std constants (CenterNet ctdet's, in RGB
+    order after BGR->RGB flip), centered letterbox, bilinear resampling.
+    """
+
+    mean: Tuple[float, float, float] = (0.408, 0.447, 0.470)
+    std: Tuple[float, float, float] = (0.289, 0.274, 0.278)
+    bgr_input: bool = True       # inputs are OpenCV BGR frames; flip to RGB
+    center: bool = True          # center the letterboxed image (affine w/ center)
+    method: str = "bilinear"
+
+
+# ---------------------------------------------------------------------------
+# Detector / runtime
+# ---------------------------------------------------------------------------
+
+# Padded resolution buckets for variable-shape inputs (WIDER TTA): each entry
+# is a square model input size. XLA compiles one executable per bucket
+# (SURVEY.md §5 "long-context N/A -> resolution buckets").
+DEFAULT_BUCKETS: Tuple[int, ...] = (320, 416, 512, 640, 800, 1024)
+
+# Host-side input images are padded up to multiples of this before device_put,
+# bounding the number of distinct input shapes (and hence recompiles).
+INPUT_PAD_MULTIPLE: int = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    model: ModelConfig = ModelConfig()
+    decode: DecodeConfig = DecodeConfig()
+    preprocess: PreprocessConfig = PreprocessConfig()
+    buckets: Tuple[int, ...] = DEFAULT_BUCKETS
+    default_size: int = 640
+
+
+# ---------------------------------------------------------------------------
+# Training (L0/L1 of SURVEY.md §1; inference-first, built after parity)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """CenterNet training hyperparameters (SURVEY.md §2 C8/C9 [K]).
+
+    UNVERIFIED-vs-reference: lr schedule, loss weights (canonical: hm=1,
+    wh=0.1, off=1), augment ranges.
+    """
+
+    input_size: int = 640
+    batch_size: int = 32
+    lr: float = 5e-4
+    lr_drops: Tuple[int, ...] = (90, 120)
+    lr_drop_factor: float = 0.1
+    epochs: int = 140
+    weight_decay: float = 0.0
+    hm_weight: float = 1.0
+    wh_weight: float = 0.1
+    off_weight: float = 1.0
+    lm_weight: float = 0.1
+    focal_alpha: float = 2.0
+    focal_beta: float = 4.0
+    max_objs: int = 128          # per-image cap on rendered GT boxes
+    # augmentation
+    scale_range: Tuple[float, float] = (0.6, 1.4)
+    shift_ratio: float = 0.1
+    flip_prob: float = 0.5
+    color_jitter: float = 0.4

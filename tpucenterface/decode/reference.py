@@ -1,0 +1,131 @@
+"""Golden pure-jnp CenterNet decode (SURVEY.md §2 C4, §3.1 [K][B]).
+
+The canonical ctdet decode pipeline, capability-equivalent to the reference's
+`_nms` / `_topk` / `_gather_feat` / `ctdet_decode` chain but written as a
+single functional jnp program that XLA fuses device-side (no host round trip):
+
+    scores = sigmoid(hm)
+    keep   = (maxpool3x3(scores) == scores)          # pseudo-NMS peak mask
+    top-k over the flattened masked map               # peak extraction
+    gather wh/off at peaks -> corner boxes * stride   # box recovery
+
+Used as the property-test oracle for the fused Pallas kernel and as the
+fallback on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpucenterface.config import DecodeConfig
+
+
+def pseudo_nms(scores: jnp.ndarray) -> jnp.ndarray:
+    """3x3 max-pool peak mask: keep positions that are their own 3x3 maximum.
+
+    scores: (B, H, W, C) probabilities. Ties on plateaus keep all tied cells —
+    matching the torch `hmax == hm` semantics.
+    """
+    hmax = jax.lax.reduce_window(
+        scores,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 1, 1, 1),
+        padding="SAME",
+    )
+    return jnp.where(hmax == scores, scores, 0.0)
+
+
+def decode_feats(
+    feats: Dict[str, jnp.ndarray],
+    cfg: DecodeConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode head maps to (boxes, scores) in model-input pixel coordinates.
+
+    feats['hm']:  (B, H, W, 1) logits (f32)
+    feats['wh']:  (B, H, W, 2)
+    feats['off']: (B, H, W, 2)
+    Returns boxes (B, K, 4) [x1,y1,x2,y2] in input pixels, scores (B, K).
+    If feats has 'lm', also returns landmarks via decode_landmarks (separate fn).
+    """
+    hm, wh, off = feats["hm"], feats["wh"], feats["off"]
+    b, h, w, _ = hm.shape
+    k = cfg.max_dets
+
+    scores = jax.nn.sigmoid(hm[..., 0])          # (B, H, W) single face class
+    peaks = pseudo_nms(scores[..., None])[..., 0]
+    flat = peaks.reshape(b, h * w)
+    top_scores, top_idx = jax.lax.top_k(flat, k)  # (B, K)
+
+    ys = (top_idx // w).astype(jnp.float32)
+    xs = (top_idx % w).astype(jnp.float32)
+
+    wh_flat = wh.reshape(b, h * w, 2)
+    off_flat = off.reshape(b, h * w, 2)
+    wh_g = jnp.take_along_axis(wh_flat, top_idx[..., None], axis=1)   # (B, K, 2)
+    off_g = jnp.take_along_axis(off_flat, top_idx[..., None], axis=1)
+
+    cx = xs + off_g[..., 0]
+    cy = ys + off_g[..., 1]
+    if cfg.wh_log:
+        bw = jnp.exp(wh_g[..., 0])
+        bh = jnp.exp(wh_g[..., 1])
+    else:
+        bw = wh_g[..., 0]
+        bh = wh_g[..., 1]
+
+    s = float(cfg.stride)
+    boxes = jnp.stack(
+        [
+            (cx - bw / 2.0) * s,
+            (cy - bh / 2.0) * s,
+            (cx + bw / 2.0) * s,
+            (cy + bh / 2.0) * s,
+        ],
+        axis=-1,
+    )
+    return boxes, top_scores
+
+
+def decode_landmarks(
+    feats: Dict[str, jnp.ndarray],
+    top_idx: jnp.ndarray,
+    cfg: DecodeConfig,
+) -> jnp.ndarray:
+    """Gather the optional 5-point landmark head at peak indices -> (B,K,5,2) px."""
+    lm = feats["lm"]
+    b, h, w, c = lm.shape
+    lm_flat = lm.reshape(b, h * w, c)
+    lm_g = jnp.take_along_axis(lm_flat, top_idx[..., None], axis=1)
+    ys = (top_idx // w).astype(jnp.float32)
+    xs = (top_idx % w).astype(jnp.float32)
+    pts = lm_g.reshape(b, -1, 5, 2)
+    s = float(cfg.stride)
+    return jnp.stack(
+        [(xs[..., None] + pts[..., 0]) * s, (ys[..., None] + pts[..., 1]) * s],
+        axis=-1,
+    )
+
+
+def boxes_to_original(
+    boxes: jnp.ndarray,
+    scale: jnp.ndarray,
+    pad_xy: jnp.ndarray,
+    orig_hw: jnp.ndarray,
+) -> jnp.ndarray:
+    """Inverse letterbox: model-input pixel boxes -> original image coords.
+
+    boxes: (..., 4) [x1,y1,x2,y2]; scale: scalar letterbox scale;
+    pad_xy: (2,) [pad_x, pad_y] letterbox offset; orig_hw: (2,) [h, w].
+    Runs device-side (part of the jitted detect program).
+    """
+    pad = jnp.concatenate([pad_xy, pad_xy]).astype(boxes.dtype)
+    out = (boxes - pad) / scale
+    h = orig_hw[0].astype(boxes.dtype)
+    w = orig_hw[1].astype(boxes.dtype)
+    lim = jnp.stack([w, h, w, h])
+    return jnp.clip(out, 0.0, lim)

@@ -1,0 +1,184 @@
+"""Detector API: `detect(image) -> (boxes, scores)` (SURVEY.md §2 C6, §3.1).
+
+The product hot path, fully fused device-side per SURVEY.md §3.1 [B]:
+
+    host: zero-pad frame to a shape bucket, device_put
+    device (ONE jitted XLA program per (input-bucket, model-size) signature):
+        letterbox+normalize -> backbone -> neck -> heads
+        -> sigmoid/maxpool-NMS/top-k/gather decode -> inverse letterbox
+    host: threshold filter of the fixed-K result
+
+No host round trip between preprocess and boxes. Equivalent public surface to
+the reference's Detector/CenterFace class (`detect(img, threshold)`), but
+batched, bucketed, and jit-cached.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpucenterface.config import DetectorConfig
+from tpucenterface.decode.reference import boxes_to_original, decode_feats
+from tpucenterface.model.centernet import CenterFaceNet, init_model
+from tpucenterface.preprocess import (
+    letterbox_normalize,
+    letterbox_normalize_batch,
+    pad_to_bucket,
+)
+
+
+class Detector:
+    """Face detector: model weights + fused preprocess->forward->decode programs."""
+
+    def __init__(
+        self,
+        variables: Optional[Dict[str, Any]] = None,
+        config: DetectorConfig = DetectorConfig(),
+        rng: Optional[jax.Array] = None,
+    ):
+        self.config = config
+        self.model = CenterFaceNet(config.model)
+        if variables is None:
+            _, variables = init_model(config.model, rng=rng)
+        self.variables = variables
+        self._fn_cache: Dict[Tuple, Any] = {}
+
+    # ------------------------------------------------------------------ #
+    # weights
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_safetensors(
+        cls, path: str, config: DetectorConfig = DetectorConfig()
+    ) -> "Detector":
+        from tpucenterface.weights.io import load_safetensors
+
+        return cls(variables=load_safetensors(path, config.model), config=config)
+
+    @classmethod
+    def from_torch_pth(
+        cls, path: str, config: DetectorConfig = DetectorConfig()
+    ) -> "Detector":
+        """Port a torch `.pth` state_dict checkpoint (reference format)."""
+        from tpucenterface.weights.port import load_torch_pth
+
+        return cls(variables=load_torch_pth(path, config.model), config=config)
+
+    # ------------------------------------------------------------------ #
+    # fused programs
+    # ------------------------------------------------------------------ #
+
+    def _decode(self, feats: Dict[str, jnp.ndarray]):
+        cfg = self.config.decode
+        if cfg.use_pallas and jax.default_backend() == "tpu":
+            try:
+                from tpucenterface.decode.pallas_decode import decode_feats_pallas
+
+                return decode_feats_pallas(feats, cfg)
+            except ImportError:
+                pass
+        return decode_feats(feats, cfg)
+
+    def _forward(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return self.model.apply(self.variables, x, train=False)
+
+    def _single_fn(self, padded_hw: Tuple[int, int], size: int):
+        key = ("single", padded_hw, size)
+        if key not in self._fn_cache:
+
+            @jax.jit
+            def run(img_u8: jnp.ndarray, hw: jnp.ndarray):
+                x, scale, pad = letterbox_normalize(
+                    img_u8, hw, size, self.config.preprocess
+                )
+                feats = self._forward(x[None])
+                boxes, scores = self._decode(feats)
+                boxes = boxes_to_original(boxes[0], scale, pad, hw)
+                return boxes, scores[0]
+
+            self._fn_cache[key] = run
+        return self._fn_cache[key]
+
+    def _batch_fn(self, batch: int, padded_hw: Tuple[int, int], size: int):
+        key = ("batch", batch, padded_hw, size)
+        if key not in self._fn_cache:
+
+            @jax.jit
+            def run(imgs_u8: jnp.ndarray, hws: jnp.ndarray):
+                x, scales, pads = letterbox_normalize_batch(
+                    imgs_u8, hws, size, self.config.preprocess
+                )
+                feats = self._forward(x)
+                boxes, scores = self._decode(feats)
+                boxes = jax.vmap(boxes_to_original)(boxes, scales, pads, hws)
+                return boxes, scores
+
+            self._fn_cache[key] = run
+        return self._fn_cache[key]
+
+    # ------------------------------------------------------------------ #
+    # public API
+    # ------------------------------------------------------------------ #
+
+    def detect(
+        self,
+        image: np.ndarray,
+        score_thresh: Optional[float] = None,
+        size: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Detect faces in one HxWx3 uint8 (BGR by default) image.
+
+        Returns (boxes[N,4] float32 [x1,y1,x2,y2] in original pixel coords,
+        scores[N] float32), score-descending, filtered at `score_thresh`.
+        """
+        if image.ndim != 3 or image.shape[2] != 3:
+            raise ValueError(
+                f"detect() expects an HxWx3 color image, got shape {image.shape}"
+            )
+        thresh = self.config.decode.score_thresh if score_thresh is None else score_thresh
+        size = size or self.config.default_size
+        h, w = image.shape[:2]
+        padded = pad_to_bucket(image)
+        fn = self._single_fn(padded.shape[:2], size)
+        boxes, scores = fn(jnp.asarray(padded), jnp.array([h, w], jnp.int32))
+        boxes = np.asarray(boxes)
+        scores = np.asarray(scores)
+        keep = scores >= thresh
+        return boxes[keep], scores[keep]
+
+    def detect_batch(
+        self,
+        images: np.ndarray,
+        hws: Optional[np.ndarray] = None,
+        score_thresh: Optional[float] = None,
+        size: Optional[int] = None,
+    ):
+        """Batched detect over images of one padded shape (B, Hp, Wp, 3) uint8.
+
+        Returns a list of (boxes, scores) per image, thresholded.
+        """
+        thresh = self.config.decode.score_thresh if score_thresh is None else score_thresh
+        size = size or self.config.default_size
+        b = images.shape[0]
+        if hws is None:
+            hws = np.tile(np.array(images.shape[1:3], np.int32), (b, 1))
+        fn = self._batch_fn(b, images.shape[1:3], size)
+        boxes, scores = fn(jnp.asarray(images), jnp.asarray(hws))
+        boxes = np.asarray(boxes)
+        scores = np.asarray(scores)
+        out = []
+        for i in range(b):
+            keep = scores[i] >= thresh
+            out.append((boxes[i][keep], scores[i][keep]))
+        return out
+
+    def warmup(self, shapes=((640, 640),), size: Optional[int] = None) -> None:
+        """Pre-compile the jit programs for the given padded input shapes."""
+        for h, w in shapes:
+            img = np.zeros((h, w, 3), np.uint8)
+            self.detect(img, size=size)

@@ -1,0 +1,67 @@
+"""CenterNet heads on the stride-4 map: hm(1) / wh(2) / offset(2) [+ landmarks(10)].
+
+Capability mirror of SURVEY.md §2 C3. Parity-critical detail preserved:
+heatmap head bias initialized to -log((1-0.01)/0.01) ≈ -4.595 (§3.5 [K]).
+Heads always emit float32 — the decode path needs f32 heatmap precision.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tpucenterface.config import ModelConfig
+
+
+class _Head(nn.Module):
+    out_ch: int
+    hidden: int
+    bias_init_val: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.hidden > 0:
+            x = nn.Conv(
+                self.hidden,
+                (3, 3),
+                padding=((1, 1), (1, 1)),  # torch Conv2d(padding=1) parity
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
+            x = nn.relu(x)
+        x = nn.Conv(
+            self.out_ch,
+            (1, 1),
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+            bias_init=nn.initializers.constant(self.bias_init_val),
+            name="out",
+        )(x.astype(jnp.float32))
+        return x
+
+
+class CenterNetHeads(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        out = {
+            "hm": _Head(
+                cfg.num_classes,
+                cfg.head_conv,
+                bias_init_val=cfg.hm_bias_init,
+                dtype=dtype,
+                name="hm",
+            )(x),
+            "wh": _Head(2, cfg.head_conv, dtype=dtype, name="wh")(x),
+            "off": _Head(2, cfg.head_conv, dtype=dtype, name="off")(x),
+        }
+        if cfg.with_landmarks:
+            out["lm"] = _Head(10, cfg.head_conv, dtype=dtype, name="lm")(x)
+        return out

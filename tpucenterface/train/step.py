@@ -1,0 +1,136 @@
+"""Jitted train step + state, DP-shardable over a device mesh (SURVEY.md §2 C9).
+
+TPU-first: one `jax.jit` program with `jax.sharding.NamedSharding` annotations
+— batch split over the 'data' mesh axis, params/opt-state replicated. GSPMD
+inserts the gradient all-reduce over ICI; BatchNorm batch statistics also
+reduce over the full logical batch automatically (no hand-written psum,
+contrast with the reference's DataParallel — SURVEY.md §2 parallelism table).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpucenterface.config import ModelConfig, TrainConfig
+from tpucenterface.model.centernet import CenterFaceNet, init_model
+from tpucenterface.train.losses import detection_loss
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+jax.tree_util.register_dataclass(
+    TrainState, data_fields=["params", "batch_stats", "opt_state", "step"], meta_fields=[]
+)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam with step-drop LR schedule (canonical CenterNet training)."""
+    # lr_drops are epochs; callers convert to steps via steps_per_epoch.
+    sched = optax.piecewise_constant_schedule(
+        cfg.lr, {int(e): cfg.lr_drop_factor for e in cfg.lr_drops}
+    )
+    tx = optax.adam(sched)
+    if cfg.weight_decay > 0:
+        tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
+    return tx
+
+
+def make_train_state(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    rng: Optional[jax.Array] = None,
+    input_size: int = 64,
+) -> Tuple[CenterFaceNet, TrainState, optax.GradientTransformation]:
+    model, variables = init_model(model_cfg, rng=rng, input_size=input_size)
+    tx = make_optimizer(train_cfg)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return model, state, tx
+
+
+def make_train_step(
+    model: CenterFaceNet,
+    tx: optax.GradientTransformation,
+    train_cfg: TrainConfig,
+):
+    """Build the pure (state, batch) -> (state, metrics) step function."""
+
+    def loss_fn(params, batch_stats, batch):
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"],
+            train=True,
+            mutable=["batch_stats"],
+        )
+        total, metrics = detection_loss(outputs, batch, train_cfg)
+        return total, (metrics, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def shard_train_step(train_step, mesh: Mesh, state: TrainState):
+    """jit the step with DP shardings: batch over 'data', state replicated.
+
+    Returns (jitted_step, sharded_state). The returned program is the
+    multi-chip training executable — GSPMD emits the grad/BN psums over ICI.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    state_sh = jax.tree.map(lambda _: repl, state)
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(state_sh, data),
+        out_shardings=(state_sh, repl),
+        donate_argnums=(0,),
+    )
+    sharded_state = jax.device_put(state, repl)
+    return jitted, sharded_state
+
+
+def make_dummy_batch(
+    batch: int, size: int, train_cfg: TrainConfig, stride: int = 4
+) -> Dict[str, jnp.ndarray]:
+    """Tiny synthetic batch with one centered GT box per image (for dryruns)."""
+    h = w = size // stride
+    m = train_cfg.max_objs
+    hm = jnp.zeros((batch, h, w, 1), jnp.float32).at[:, h // 2, w // 2, 0].set(1.0)
+    ind = jnp.zeros((batch, m), jnp.int32).at[:, 0].set((h // 2) * w + w // 2)
+    mask = jnp.zeros((batch, m), jnp.float32).at[:, 0].set(1.0)
+    return {
+        "image": jnp.zeros((batch, size, size, 3), jnp.float32),
+        "hm": hm,
+        "ind": ind,
+        "mask": mask,
+        "wh": jnp.ones((batch, m, 2), jnp.float32) * 2.0 * mask[..., None],
+        "off": jnp.ones((batch, m, 2), jnp.float32) * 0.3 * mask[..., None],
+    }

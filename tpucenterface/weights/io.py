@@ -1,0 +1,31 @@
+"""Safetensors IO for flax variables (SURVEY.md §5 checkpoint/resume).
+
+Inference artifacts are stored as flat safetensors with '/'-joined flax paths
+('params/backbone/stem/conv/kernel', ...). Training checkpoints (optimizer
+state etc.) use orbax — see `train.loop`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+from tpucenterface.config import ModelConfig
+
+
+def save_safetensors(variables: Dict[str, Any], path: str) -> None:
+    from safetensors.numpy import save_file
+
+    flat = flatten_dict(variables, sep="/")
+    save_file({k: np.asarray(v) for k, v in flat.items()}, path)
+
+
+def load_safetensors(path: str, cfg: ModelConfig | None = None) -> Dict[str, Any]:
+    from safetensors.numpy import load_file
+
+    flat = load_file(path)
+    return unflatten_dict({k: jnp.asarray(v) for k, v in flat.items()}, sep="/")
