@@ -25,14 +25,14 @@ def _feats(hm, wh, off):
 
 
 def test_pseudo_nms_suppresses_neighbors():
-    s = np.zeros((1, 8, 8, 1), np.float32)
-    s[0, 3, 3, 0] = 0.9
-    s[0, 3, 4, 0] = 0.8  # adjacent, lower -> suppressed
-    s[0, 6, 6, 0] = 0.7  # far -> kept
+    s = np.zeros((1, 8, 8), np.float32)
+    s[0, 3, 3] = 0.9
+    s[0, 3, 4] = 0.8  # adjacent, lower -> suppressed
+    s[0, 6, 6] = 0.7  # far -> kept
     out = np.asarray(pseudo_nms(jnp.asarray(s)))
-    np.testing.assert_allclose(out[0, 3, 3, 0], 0.9, atol=1e-6)
-    assert out[0, 3, 4, 0] == 0.0
-    np.testing.assert_allclose(out[0, 6, 6, 0], 0.7, atol=1e-6)
+    np.testing.assert_allclose(out[0, 3, 3], 0.9, atol=1e-6)
+    assert out[0, 3, 4] == 0.0
+    np.testing.assert_allclose(out[0, 6, 6], 0.7, atol=1e-6)
 
 
 def test_decode_single_peak_box():

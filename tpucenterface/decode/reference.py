@@ -26,17 +26,18 @@ from tpucenterface.config import DecodeConfig
 def pseudo_nms(scores: jnp.ndarray) -> jnp.ndarray:
     """3x3 max-pool peak mask: keep positions that are their own 3x3 maximum.
 
-    scores: (B, H, W, C) probabilities. Ties on plateaus keep all tied cells —
-    matching the torch `hmax == hm` semantics.
+    scores: (B, H, W) probabilities — channel-free on purpose: a trailing
+    size-1 channel dim puts the whole map into 1/128 of the VPU lanes on TPU
+    (measured 160x slower). Ties on plateaus keep all tied cells — matching
+    the torch `hmax == hm` semantics.
     """
-    hmax = jax.lax.reduce_window(
-        scores,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1, 3, 3, 1),
-        window_strides=(1, 1, 1, 1),
-        padding="SAME",
-    )
+    # Separable shifted-max (two 3-tap passes) instead of reduce_window: same
+    # result, but lowers to plain VPU maximum ops that fuse with neighbors
+    # (reduce_window compiles to a standalone window op that resists fusion).
+    p = jnp.pad(scores, ((0, 0), (1, 1), (0, 0)), constant_values=-jnp.inf)
+    v = jnp.maximum(jnp.maximum(p[:, :-2], p[:, 1:-1]), p[:, 2:])
+    p = jnp.pad(v, ((0, 0), (0, 0), (1, 1)), constant_values=-jnp.inf)
+    hmax = jnp.maximum(jnp.maximum(p[..., :-2], p[..., 1:-1]), p[..., 2:])
     return jnp.where(hmax == scores, scores, 0.0)
 
 
@@ -57,7 +58,7 @@ def decode_feats(
     k = cfg.max_dets
 
     scores = jax.nn.sigmoid(hm[..., 0])          # (B, H, W) single face class
-    peaks = pseudo_nms(scores[..., None])[..., 0]
+    peaks = pseudo_nms(scores)
     flat = peaks.reshape(b, h * w)
     top_scores, top_idx = jax.lax.top_k(flat, k)  # (B, K)
 
