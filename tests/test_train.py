@@ -1,0 +1,124 @@
+"""Training substrate tests: losses, augment, loader, end-to-end loop with
+checkpoint/resume on the 8-fake-device mesh (SURVEY.md §2 C8-C10)."""
+
+import os
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpucenterface.config import ModelConfig, TrainConfig
+from tpucenterface.data.augment import hflip, random_affine
+from tpucenterface.data.loader import batch_iterator
+from tpucenterface.data.wider import WiderImage
+from tpucenterface.train.losses import focal_loss, gather_at_ind, masked_l1
+
+
+def test_focal_loss_orders_predictions():
+    gt = jnp.zeros((1, 8, 8, 1)).at[0, 4, 4, 0].set(1.0)
+    good = jnp.full((1, 8, 8, 1), -6.0).at[0, 4, 4, 0].set(6.0)
+    bad = jnp.full((1, 8, 8, 1), -6.0)
+    assert float(focal_loss(good, gt)) < float(focal_loss(bad, gt))
+
+
+def test_gather_and_masked_l1():
+    feat = jnp.arange(2 * 4 * 4 * 2, dtype=jnp.float32).reshape(2, 4, 4, 2)
+    ind = jnp.array([[5], [0]])
+    g = gather_at_ind(feat, ind)
+    np.testing.assert_allclose(np.asarray(g[0, 0]), np.asarray(feat[0, 1, 1]))
+    target = g + 1.0
+    mask = jnp.ones((2, 1))
+    assert abs(float(masked_l1(feat, target, ind, mask)) - 1.0) < 1e-6
+    # masked-out entries contribute nothing
+    assert float(masked_l1(feat, target + 100, ind, jnp.zeros((2, 1)))) == 0.0
+
+
+def test_hflip_boxes():
+    img = np.zeros((10, 20, 3), np.uint8)
+    b = np.array([[2.0, 1.0, 8.0, 5.0]])
+    img2, b2 = hflip(img, b)
+    np.testing.assert_allclose(b2, [[12.0, 1.0, 18.0, 5.0]])
+
+
+def test_random_affine_box_consistency():
+    rng = np.random.RandomState(0)
+    img = np.zeros((100, 200, 3), np.uint8)
+    img[20:40, 50:90] = 255
+    boxes = np.array([[50.0, 20.0, 90.0, 40.0]])
+    out, b = random_affine(img, boxes, 128, rng, scale_range=(1.0, 1.0), shift_ratio=0)
+    # the white region's bounding box in the canvas should match the mapped box
+    ys, xs = np.where(out[..., 0] > 127)
+    x1, x2 = np.clip(b[0, [0, 2]], 0, 127)
+    y1, y2 = np.clip(b[0, [1, 3]], 0, 127)
+    assert abs(xs.min() - x1) <= 1.5 and abs(xs.max() - x2) <= 1.5
+    assert abs(ys.min() - y1) <= 1.5 and abs(ys.max() - y2) <= 1.5
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wider")
+    rng = np.random.RandomState(0)
+    records = []
+    for i in range(8):
+        img = rng.randint(0, 255, (80, 100, 3), np.uint8)
+        img[20:50, 30:70] = 255
+        p = str(root / f"img_{i}.jpg")
+        cv2.imwrite(p, img)
+        records.append(
+            WiderImage(
+                path=p,
+                rel_path=f"ev/img_{i}.jpg",
+                boxes=np.array([[30, 20, 40, 30]], np.float32),
+                invalid=np.array([False]),
+            )
+        )
+    return records
+
+
+def test_batch_iterator_shapes(tiny_dataset):
+    cfg = TrainConfig(input_size=64, batch_size=4, max_objs=8)
+    batch = next(iter(batch_iterator(tiny_dataset, cfg, seed=0)))
+    assert batch["image"].shape == (4, 64, 64, 3)
+    assert batch["image"].dtype == np.uint8
+    assert batch["hm"].shape == (4, 16, 16, 1)
+    assert batch["ind"].shape == (4, 8)
+
+
+def test_train_loop_end_to_end(tiny_dataset, tmp_path):
+    from tpucenterface.train.loop import restore_checkpoint, train
+    from tpucenterface.train.step import make_train_state
+
+    mcfg = ModelConfig(compute_dtype="float32")
+    tcfg = TrainConfig(input_size=64, batch_size=8, max_objs=8, lr=1e-3)
+    logs = {}
+
+    state = train(
+        tiny_dataset,
+        model_cfg=mcfg,
+        train_cfg=tcfg,
+        workdir=str(tmp_path / "run"),
+        max_steps=3,
+        log_every=1,
+        ckpt_every=2,
+        log_fn=lambda s, m: logs.update({s: m}),
+    )
+    assert int(state.step) == 3
+    assert logs and all(np.isfinite(m["loss"]) for m in logs.values())
+
+    # resume restores the saved step
+    _, template, _ = make_train_state(mcfg, tcfg, input_size=64)
+    restored = restore_checkpoint(str(tmp_path / "run"), template)
+    assert restored is not None and int(restored.step) == 3
+
+    # exported weights load into the Detector API
+    from tpucenterface.config import DetectorConfig
+    from tpucenterface.detector import Detector
+
+    det = Detector.from_safetensors(
+        str(tmp_path / "run/model.safetensors"),
+        config=DetectorConfig(model=mcfg, default_size=64),
+    )
+    boxes, scores = det.detect(np.zeros((64, 64, 3), np.uint8), score_thresh=0.0)
+    assert boxes.shape[1] == 4

@@ -1,0 +1,95 @@
+"""WIDER FACE annotation parsing (SURVEY.md §2 C7 [K]).
+
+Supports the two standard distribution formats:
+- `wider_face_{split}_bbx_gt.txt` (train/val detections ground truth):
+  repeated blocks of [relative image path, face count, count lines of
+  `x y w h blur expression illumination invalid occlusion pose`].
+- the eval-tools `.mat` ground truth (val AP protocol) is handled in
+  `eval.wider_eval`, not here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class WiderImage:
+    path: str              # absolute path to the jpg
+    rel_path: str          # event/img.jpg relative path
+    boxes: np.ndarray      # (N, 4) float32 x1,y1,w,h (WIDER native layout)
+    invalid: np.ndarray    # (N,) bool — annotation flagged invalid
+
+    @property
+    def xyxy(self) -> np.ndarray:
+        b = self.boxes.copy()
+        b[:, 2:4] += b[:, 0:2]
+        return b
+
+
+def parse_bbx_gt(
+    gt_file: str, images_root: str, min_size: float = 0.0
+) -> List[WiderImage]:
+    """Parse a `wider_face_*_bbx_gt.txt` file into WiderImage records."""
+    out: List[WiderImage] = []
+    with open(gt_file, "r") as f:
+        lines = [ln.strip() for ln in f]
+    i = 0
+    while i < len(lines):
+        rel = lines[i]
+        i += 1
+        if not rel:
+            continue
+        n = int(lines[i])
+        i += 1
+        boxes, invalid = [], []
+        # the quirk in the official file: n==0 entries still carry one
+        # all-zeros annotation line
+        rows = max(n, 1) if i < len(lines) and lines[i].count(" ") >= 3 else n
+        for _ in range(rows):
+            vals = lines[i].split()
+            i += 1
+            x, y, w, h = map(float, vals[:4])
+            inv = bool(int(vals[7])) if len(vals) > 7 else False
+            if n > 0 and w > min_size and h > min_size:
+                boxes.append([x, y, w, h])
+                invalid.append(inv)
+        out.append(
+            WiderImage(
+                path=os.path.join(images_root, rel),
+                rel_path=rel,
+                boxes=np.asarray(boxes, np.float32).reshape(-1, 4),
+                invalid=np.asarray(invalid, bool).reshape(-1),
+            )
+        )
+    return out
+
+
+def iter_event_images(val_images_root: str) -> Iterator[str]:
+    """Yield event/img.jpg relative paths by walking the val images tree."""
+    for event in sorted(os.listdir(val_images_root)):
+        ev_dir = os.path.join(val_images_root, event)
+        if not os.path.isdir(ev_dir):
+            continue
+        for name in sorted(os.listdir(ev_dir)):
+            if name.lower().endswith((".jpg", ".jpeg", ".png")):
+                yield os.path.join(event, name)
+
+
+def write_wider_detections(
+    out_root: str, rel_path: str, boxes: np.ndarray, scores: np.ndarray
+) -> None:
+    """Write one image's detections in the WIDER submission txt format:
+    event/img.txt containing `name / count / x y w h score` lines."""
+    rel_noext = os.path.splitext(rel_path)[0]
+    out_path = os.path.join(out_root, rel_noext + ".txt")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write(os.path.basename(rel_noext) + "\n")
+        f.write(f"{len(boxes)}\n")
+        for (x1, y1, x2, y2), s in zip(boxes, scores):
+            f.write(f"{x1:.1f} {y1:.1f} {x2 - x1:.1f} {y2 - y1:.1f} {s:.3f}\n")

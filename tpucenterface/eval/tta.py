@@ -1,0 +1,87 @@
+"""Flip + multi-scale test-time augmentation with detection merging
+(SURVEY.md §3.3 [K][B]: TTA multiplies per-image cost by #scales x 2; variable
+shapes are absorbed by the detector's padded resolution buckets).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def nms(dets: np.ndarray, thresh: float = 0.4) -> np.ndarray:
+    """Greedy IoU NMS over (N, 5) xyxy+score; returns kept indices."""
+    if len(dets) == 0:
+        return np.zeros(0, np.int64)
+    x1, y1, x2, y2, s = dets.T
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = np.argsort(-s, kind="stable")
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        iou = w * h / (areas[i] + areas[order[1:]] - w * h)
+        order = order[1:][iou <= thresh]
+    return np.asarray(keep, np.int64)
+
+
+def flip_detect(detector, img: np.ndarray, **kw) -> Tuple[np.ndarray, np.ndarray]:
+    """Detect on the horizontally mirrored image; un-mirror the boxes."""
+    w = img.shape[1]
+    boxes, scores = detector.detect(img[:, ::-1], **kw)
+    if len(boxes):
+        boxes = boxes.copy()
+        x1 = w - boxes[:, 2]
+        x2 = w - boxes[:, 0]
+        boxes[:, 0], boxes[:, 2] = x1, x2
+    return boxes, scores
+
+
+def pick_bucket(buckets: Sequence[int], target: float) -> int:
+    """Smallest bucket >= target, else the largest bucket."""
+    for b in sorted(buckets):
+        if b >= target:
+            return b
+    return max(buckets)
+
+
+def detect_tta(
+    detector,
+    img: np.ndarray,
+    scales: Sequence[float] = (1.0,),
+    flip: bool = True,
+    score_thresh: float = 0.01,
+    nms_thresh: float = 0.4,
+    max_dets: Optional[int] = 750,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Run flip/multi-scale TTA and merge with NMS.
+
+    `scales` multiply the image's max side to choose the model-input bucket,
+    so each (scale, image-shape) pair maps onto a bounded executable set.
+    """
+    h, w = img.shape[:2]
+    parts = []
+    for s in scales:
+        size = pick_bucket(detector.config.buckets, max(h, w) * s)
+        for flipped in ([False, True] if flip else [False]):
+            if flipped:
+                b, sc = flip_detect(detector, img, score_thresh=score_thresh, size=size)
+            else:
+                b, sc = detector.detect(img, score_thresh=score_thresh, size=size)
+            if len(b):
+                parts.append(np.concatenate([b, sc[:, None]], axis=1))
+    if not parts:
+        return np.zeros((0, 4), np.float32), np.zeros(0, np.float32)
+    dets = np.concatenate(parts, axis=0)
+    keep = nms(dets, nms_thresh)
+    dets = dets[keep]
+    order = np.argsort(-dets[:, 4], kind="stable")
+    dets = dets[order[:max_dets]] if max_dets else dets[order]
+    return dets[:, :4].astype(np.float32), dets[:, 4].astype(np.float32)

@@ -1,0 +1,37 @@
+"""Double-buffered host->HBM prefetch (SURVEY.md §5, BASELINE config #4).
+
+`jax.device_put` is asynchronous: transfers for batch N+1 overlap device
+compute of batch N as long as we enqueue ahead. This iterator keeps a small
+queue of in-flight device batches — the TPU-native analogue of the
+DataLoader-worker + pinned-memory + cudaMemcpyAsync pipeline the reference
+relies on torch for.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Any, Iterable, Iterator, Optional
+
+import jax
+
+
+def prefetch_to_device(
+    iterator: Iterable[Any],
+    size: int = 2,
+    sharding: Optional[Any] = None,
+) -> Iterator[Any]:
+    """Yield device-resident pytrees, keeping `size` transfers in flight."""
+    queue: collections.deque = collections.deque()
+
+    def _put(item):
+        if sharding is not None:
+            return jax.device_put(item, sharding)
+        return jax.device_put(item)
+
+    it = iter(iterator)
+    for item in it:
+        queue.append(_put(item))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -1,0 +1,122 @@
+"""Training loop with checkpoint/resume + metrics logging
+(SURVEY.md §2 C9/C10: replaces the reference's train.py epoch loop +
+torch.save/load; TPU-native: DP-sharded jitted step, prefetched input
+pipeline, orbax checkpoints, safetensors weight export).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+
+from tpucenterface.config import ModelConfig, PreprocessConfig, TrainConfig
+from tpucenterface.data.loader import batch_iterator
+from tpucenterface.runtime.prefetch import prefetch_to_device
+from tpucenterface.runtime.sharding import batch_sharding, data_mesh
+from tpucenterface.train.step import (
+    TrainState,
+    make_train_state,
+    make_train_step,
+    shard_train_step,
+)
+
+
+def save_checkpoint(workdir: str, state: TrainState) -> str:
+    """Orbax checkpoint of the full train state (params/opt/stats/step)."""
+    import orbax.checkpoint as ocp
+
+    step = int(state.step)
+    path = os.path.abspath(os.path.join(workdir, f"ckpt_{step:07d}"))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state))
+    return path
+
+
+def restore_checkpoint(workdir: str, template: TrainState) -> Optional[TrainState]:
+    """Restore the latest ckpt_* under workdir, or None."""
+    import orbax.checkpoint as ocp
+
+    if not os.path.isdir(workdir):
+        return None
+    cands = sorted(d for d in os.listdir(workdir) if d.startswith("ckpt_"))
+    if not cands:
+        return None
+    path = os.path.abspath(os.path.join(workdir, cands[-1]))
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, target=jax.device_get(template))
+
+
+def export_weights(workdir: str, state: TrainState, name: str = "model.safetensors"):
+    from tpucenterface.weights.io import save_safetensors
+
+    path = os.path.join(workdir, name)
+    save_safetensors(
+        {
+            "params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        },
+        path,
+    )
+    return path
+
+
+def train(
+    records: Sequence,
+    model_cfg: ModelConfig = ModelConfig(),
+    train_cfg: TrainConfig = TrainConfig(),
+    pre_cfg: PreprocessConfig = PreprocessConfig(),
+    workdir: str = "runs/train",
+    n_devices: Optional[int] = None,
+    max_steps: Optional[int] = None,
+    log_every: int = 20,
+    ckpt_every: int = 1000,
+    resume: bool = True,
+    log_fn: Callable[[int, Dict[str, float]], None] = None,
+    wh_log: bool = False,
+    seed: int = 0,
+) -> TrainState:
+    """Run (or resume) training over WIDER records; returns the final state."""
+    os.makedirs(workdir, exist_ok=True)
+    steps_per_epoch = max(1, len(records) // train_cfg.batch_size)
+    model, state, tx = make_train_state(
+        model_cfg,
+        train_cfg,
+        rng=jax.random.PRNGKey(seed),
+        input_size=train_cfg.input_size,
+        steps_per_epoch=steps_per_epoch,
+    )
+    if resume:
+        restored = restore_checkpoint(workdir, state)
+        if restored is not None:
+            state = restored
+
+    mesh = data_mesh(n_devices)
+    step_fn = make_train_step(model, tx, train_cfg, pre_cfg)
+    jitted, state = shard_train_step(step_fn, mesh, state)
+
+    total_steps = max_steps or steps_per_epoch * train_cfg.epochs
+    start_step = int(state.step)
+    batches = batch_iterator(records, train_cfg, seed=seed, wh_log=wh_log)
+    t0 = time.perf_counter()
+    for batch in prefetch_to_device(batches, size=2, sharding=batch_sharding(mesh)):
+        if int(state.step) >= total_steps:
+            break
+        state, metrics = jitted(state, batch)
+        step = int(state.step)
+        if log_fn is not None and step % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["imgs_per_sec"] = (
+                (step - start_step)
+                * train_cfg.batch_size
+                / max(time.perf_counter() - t0, 1e-9)
+            )
+            log_fn(step, m)
+        if ckpt_every and step % ckpt_every == 0:
+            save_checkpoint(workdir, state)
+    save_checkpoint(workdir, state)
+    export_weights(workdir, state)
+    return state

@@ -52,9 +52,13 @@ def masked_l1(
     ind: jnp.ndarray,
     mask: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Mean L1 at active GT indices: sum |pred - t| * mask / sum(mask)."""
+    """Mean L1 at active GT indices.
+
+    Canonical CenterNet RegL1Loss normalization: the mask is expanded to the
+    channel dim before summing, so the divisor counts mask * channels.
+    """
     pred = gather_at_ind(pred_map, ind)
-    m = mask[..., None].astype(pred.dtype)
+    m = jnp.broadcast_to(mask[..., None].astype(pred.dtype), pred.shape)
     loss = jnp.abs(pred - target) * m
     return loss.sum() / jnp.maximum(m.sum(), 1.0)
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpucenterface.config import ModelConfig, TrainConfig
+from tpucenterface.config import ModelConfig, PreprocessConfig, TrainConfig
 from tpucenterface.model.centernet import CenterFaceNet, init_model
 from tpucenterface.train.losses import detection_loss
 
@@ -35,11 +35,12 @@ jax.tree_util.register_dataclass(
 )
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """Adam with step-drop LR schedule (canonical CenterNet training)."""
-    # lr_drops are epochs; callers convert to steps via steps_per_epoch.
+def make_optimizer(
+    cfg: TrainConfig, steps_per_epoch: int = 1
+) -> optax.GradientTransformation:
+    """Adam with epoch-boundary LR step drops (canonical CenterNet training)."""
     sched = optax.piecewise_constant_schedule(
-        cfg.lr, {int(e): cfg.lr_drop_factor for e in cfg.lr_drops}
+        cfg.lr, {int(e * steps_per_epoch): cfg.lr_drop_factor for e in cfg.lr_drops}
     )
     tx = optax.adam(sched)
     if cfg.weight_decay > 0:
@@ -52,9 +53,10 @@ def make_train_state(
     train_cfg: TrainConfig,
     rng: Optional[jax.Array] = None,
     input_size: int = 64,
+    steps_per_epoch: int = 1,
 ) -> Tuple[CenterFaceNet, TrainState, optax.GradientTransformation]:
     model, variables = init_model(model_cfg, rng=rng, input_size=input_size)
-    tx = make_optimizer(train_cfg)
+    tx = make_optimizer(train_cfg, steps_per_epoch)
     state = TrainState(
         params=variables["params"],
         batch_stats=variables["batch_stats"],
@@ -68,13 +70,29 @@ def make_train_step(
     model: CenterFaceNet,
     tx: optax.GradientTransformation,
     train_cfg: TrainConfig,
+    pre_cfg: PreprocessConfig = PreprocessConfig(),
 ):
-    """Build the pure (state, batch) -> (state, metrics) step function."""
+    """Build the pure (state, batch) -> (state, metrics) step function.
+
+    batch['image'] is uint8 BGR (host augmenters emit raw canvases);
+    normalization runs device-side, sharing constants with the inference
+    preprocess (one codepath for the parity-critical mean/std).
+    """
+    mean = jnp.asarray(pre_cfg.mean, jnp.float32)
+    std = jnp.asarray(pre_cfg.std, jnp.float32)
+
+    def _normalize(img):
+        x = img.astype(jnp.float32)
+        if img.dtype == jnp.uint8 and pre_cfg.bgr_input:
+            x = x[..., ::-1]
+        if img.dtype == jnp.uint8:
+            x = (x / 255.0 - mean) / std
+        return x  # float inputs pass through (tests feed pre-normalized)
 
     def loss_fn(params, batch_stats, batch):
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["image"],
+            _normalize(batch["image"]),
             train=True,
             mutable=["batch_stats"],
         )
