@@ -33,15 +33,18 @@ def main():
 
     j_imgs = jnp.asarray(imgs)
     j_hws = jnp.asarray(hws)
-    # warmup / compile
+    # warmup / compile; force completion by fetching a scalar (NOTE:
+    # block_until_ready is unreliable over the axon relay — a host fetch of
+    # the last enqueued result is the sound completion barrier, since device
+    # execution is FIFO)
     boxes, scores = fn(j_imgs, j_hws)
-    jax.block_until_ready((boxes, scores))
+    float(np.asarray(scores).sum())
 
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
     t0 = time.perf_counter()
     for _ in range(iters):
         boxes, scores = fn(j_imgs, j_hws)
-    jax.block_until_ready((boxes, scores))
+    float(np.asarray(scores).sum())  # barrier: all iters retired
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt

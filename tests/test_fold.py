@@ -1,0 +1,56 @@
+"""BN folding parity tests (inference hot path, weights.fold)."""
+
+from dataclasses import replace
+
+import jax
+import numpy as np
+import torch
+
+from tpucenterface.config import DetectorConfig, ModelConfig
+from tpucenterface.detector import Detector
+from tpucenterface.model.centernet import CenterFaceNet
+from tpucenterface.weights.fold import fold_variables
+from tpucenterface.weights.port import flax_from_torch_module
+from tpucenterface.weights.torch_twin import TorchCenterFace
+
+CFG = ModelConfig(compute_dtype="float32")
+
+
+def _randomized_variables():
+    torch.manual_seed(1)
+    twin = TorchCenterFace(CFG).eval()
+    with torch.no_grad():
+        for m in twin.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.3, 0.3)
+    return flax_from_torch_module(twin, CFG)
+
+
+def test_folded_matches_unfolded():
+    variables = _randomized_variables()
+    folded = fold_variables(variables, bn_eps=CFG.bn_eps)
+    model = CenterFaceNet(CFG)
+    fmodel = CenterFaceNet(replace(CFG, folded=True))
+    x = np.random.RandomState(0).rand(1, 128, 128, 3).astype(np.float32)
+    a = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(variables, x)
+    b = jax.jit(lambda v, xx: fmodel.apply(v, xx, train=False))(folded, x)
+    for k in ("hm", "wh", "off"):
+        np.testing.assert_allclose(
+            np.asarray(b[k]), np.asarray(a[k]), atol=5e-4, err_msg=k
+        )
+
+
+def test_detector_autofolds_and_detects():
+    variables = _randomized_variables()
+    cfg = DetectorConfig(model=CFG, default_size=64)
+    det_f = Detector(variables=variables, config=cfg, fold_bn=True)
+    det_u = Detector(variables=variables, config=cfg, fold_bn=False)
+    assert det_f.config.model.folded and not det_u.config.model.folded
+    img = np.random.RandomState(1).randint(0, 255, (64, 64, 3), np.uint8)
+    bf, sf = det_f.detect(img, score_thresh=0.0)
+    bu, su = det_u.detect(img, score_thresh=0.0)
+    np.testing.assert_allclose(sf, su, atol=1e-4)
+    np.testing.assert_allclose(bf, bu, atol=5e-3)

@@ -1,0 +1,80 @@
+"""Tunnel-safe TPU timing.
+
+The axon relay breaks every naive timing method (measured, in order):
+- `block_until_ready` can return before execution completes (a bs32 matmul
+  "ran" in 0.03ms = 38 PFLOP/s);
+- host-fetch-per-iteration serializes on the ~30ms round trip, hiding any
+  op cheaper than the RTT;
+- output->input chaining ships the full array through the tunnel each step.
+
+The sound method: run the op K times INSIDE one jitted program with a scalar
+carry dependency (defeats CSE/hoisting), fetch one scalar at the end, and fit
+time-vs-K over two K values. The slope is pure device compute, independent of
+RTT and transfer costs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def op_time_ms(
+    op: Callable,
+    *args,
+    k_pair: Sequence[int] = (4, 20),
+    reps: int = 3,
+) -> float:
+    """Per-call device time (ms) of `op(*args) -> pytree`, slope method."""
+
+    def make(k):
+        @jax.jit
+        def run(*a):
+            def body(i, c):
+                # perturb the first arg by a negligible carry-dependent amount
+                # so each iteration is a fresh computation
+                a0 = a[0] + (c * 1e-30).astype(a[0].dtype if hasattr(a[0], "dtype") else jnp.float32)
+                out = op(a0, *a[1:])
+                leaves = jax.tree.leaves(out)
+                s = sum(jnp.sum(l, dtype=jnp.float32) for l in leaves)
+                return s * 1e-30
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return run
+
+    lo, hi = k_pair
+    run_lo, run_hi = make(lo), make(hi)
+    float(run_lo(*args))  # compile
+    float(run_hi(*args))
+    t_lo = min(_timed(run_lo, args) for _ in range(reps))
+    t_hi = min(_timed(run_hi, args) for _ in range(reps))
+    return max((t_hi - t_lo) / (hi - lo) * 1e3, 0.0)
+
+
+def _timed(fn, args) -> float:
+    t0 = time.perf_counter()
+    float(fn(*args))
+    return time.perf_counter() - t0
+
+
+def throughput_images_per_sec(
+    fn: Callable, args, batch: int, iters: int = 30
+) -> float:
+    """Pipeline throughput: enqueue `iters` calls, barrier on the last result.
+
+    Device execution is FIFO, so fetching the last result's bytes bounds all
+    prior work; with enough iters the RTT amortizes away. This measures the
+    rate a saturated serving pipeline would see.
+    """
+    import numpy as np
+
+    out = fn(*args)
+    float(np.asarray(jax.tree.leaves(out)[-1]).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    float(np.asarray(jax.tree.leaves(out)[-1]).ravel()[0])
+    dt = time.perf_counter() - t0
+    return batch * iters / dt

@@ -1,0 +1,138 @@
+"""The 5 BASELINE benchmark configs (BASELINE.md; SURVEY.md §6).
+
+Prints one JSON line per config. Configs needing the WIDER dataset fall back
+to synthetic images when --wider-root is absent (throughput numbers remain
+meaningful; AP requires the dataset).
+
+Timing note: block_until_ready is unreliable over the axon relay; every
+measurement fetches a scalar/array from the LAST enqueued result, which is a
+sound completion barrier because device execution is FIFO.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _barrier(x):
+    return float(np.asarray(x).sum())
+
+
+def config1_single_320(det) -> dict:
+    """Single 320x320 image forward + decode latency (parity config)."""
+    img = np.random.RandomState(0).randint(0, 255, (320, 320, 3), np.uint8)
+    det.detect(img, size=320)  # compile
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        boxes, scores = det.detect(img, size=320)
+    dt = (time.perf_counter() - t0) / n
+    return {"metric": "p50 latency single 320x320", "value": round(dt * 1e3, 2),
+            "unit": "ms"}
+
+
+def config2_batch640(det, batch=32) -> dict:
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 255, (batch, 640, 640, 3), np.uint8))
+    hws = jnp.asarray(np.tile(np.array([[640, 640]], np.int32), (batch, 1)))
+    fn = det._batch_fn(batch, (640, 640), 640)
+    _barrier(fn(imgs, hws)[1])
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(imgs, hws)
+    _barrier(out[1])
+    dt = time.perf_counter() - t0
+    ips = batch * n / dt
+    return {"metric": "images/sec/chip @640x640 bs32 fused", "value": round(ips, 1),
+            "unit": "img/s", "vs_baseline": round(ips / 5000.0, 4)}
+
+
+def config3_tta(det, wider_root=None, n_imgs=20) -> dict:
+    """Flip + multi-scale TTA over variable-shape images (padded buckets)."""
+    from tpucenterface.eval.tta import detect_tta
+
+    rng = np.random.RandomState(0)
+    shapes = [(480, 640), (720, 1280), (333, 500), (1024, 768)]
+    imgs = [rng.randint(0, 255, s + (3,), np.uint8) for s in
+            (shapes * ((n_imgs // len(shapes)) + 1))[:n_imgs]]
+    detect_tta(det, imgs[0], scales=(0.5, 1.0), flip=True)  # compile buckets
+    t0 = time.perf_counter()
+    for img in imgs:
+        detect_tta(det, img, scales=(0.5, 1.0), flip=True)
+    dt = time.perf_counter() - t0
+    return {"metric": "TTA eval throughput (flip + 2 scales, bucketed)",
+            "value": round(n_imgs / dt, 2), "unit": "img/s"}
+
+
+def config4_video(det, n_frames=60) -> dict:
+    from tpucenterface.runtime.video import VideoPipeline
+
+    rng = np.random.RandomState(0)
+
+    def frames():
+        for _ in range(n_frames):
+            yield rng.randint(0, 255, (720, 1280, 3), np.uint8)
+
+    pipe = VideoPipeline(det, size=640)
+    for _ in pipe.run(frames()):
+        pass
+    lat = float(np.median(pipe.steady_latencies_ms[5:]))
+    return {"metric": "720p stream steady-state", "value": round(pipe.last_fps, 1),
+            "unit": "fps", "p50_latency_ms": round(lat, 1)}
+
+
+def config5_dp(det, batch=256) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tpucenterface.runtime.sharding import data_mesh, put_sharded, shard_batch_fn
+
+    mesh = data_mesh()
+    nd = int(mesh.devices.size)
+    b = batch - batch % nd
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (b, 640, 640, 3), np.uint8)
+    hws = np.tile(np.array([[640, 640]], np.int32), (b, 1))
+    inner = det._batch_fn(b, (640, 640), 640)
+    fn = shard_batch_fn(lambda im, hw: inner(im, hw), mesh, num_batch_args=2)
+    dimgs = put_sharded(jnp.asarray(imgs), mesh)
+    dhws = put_sharded(jnp.asarray(hws), mesh)
+    _barrier(fn(dimgs, dhws)[1])
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(dimgs, dhws)
+    _barrier(out[1])
+    dt = time.perf_counter() - t0
+    ips = b * n / dt
+    return {"metric": f"DP sweep bs={b} over {nd} device(s)", "value": round(ips, 1),
+            "unit": "img/s", "per_chip": round(ips / nd, 1)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="BASELINE 5-config bench suite")
+    p.add_argument("--configs", default="1,2,3,4,5")
+    p.add_argument("--weights", default=None)
+    p.add_argument("--wider-root", default=None)
+    args = p.parse_args(argv)
+
+    from tpucenterface.detector import Detector
+
+    det = (Detector.from_safetensors(args.weights) if args.weights else Detector())
+    runners = {"1": config1_single_320, "2": config2_batch640, "3": config3_tta,
+               "4": config4_video, "5": config5_dp}
+    for c in args.configs.split(","):
+        fn = runners[c.strip()]
+        kw = {"wider_root": args.wider_root} if c.strip() == "3" else {}
+        print(json.dumps({"config": int(c), **fn(det, **kw)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""WIDER FACE val evaluation CLI (SURVEY.md §2 C11, §3.3, config #3)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="WIDER val AP evaluation")
+    p.add_argument("--gt-dir", required=True,
+                   help="eval_tools ground_truth dir with wider_face_val.mat etc.")
+    p.add_argument("--images-root", required=True, help="WIDER_val/images")
+    p.add_argument("--weights", default=None)
+    p.add_argument("--tta", action="store_true", help="flip + multi-scale TTA")
+    p.add_argument("--scales", default="0.5,1.0,1.5",
+                   help="TTA scale multipliers (with --tta)")
+    p.add_argument("--thresh", type=float, default=0.01)
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--out-dets", default=None,
+                   help="also dump WIDER-format detection txts here")
+    args = p.parse_args(argv)
+
+    from tpucenterface.detector import Detector
+    from tpucenterface.eval.tta import detect_tta
+    from tpucenterface.eval.wider_eval import evaluate_wider
+
+    if args.weights and args.weights.endswith(".pth"):
+        det = Detector.from_torch_pth(args.weights)
+    elif args.weights:
+        det = Detector.from_safetensors(args.weights)
+    else:
+        print("[eval] no --weights: random-init model (AP will be ~0)")
+        det = Detector()
+
+    dump_root = args.out_dets
+
+    def det_fn(img):
+        if args.tta:
+            scales = tuple(float(s) for s in args.scales.split(","))
+            return detect_tta(det, img, scales=scales, flip=True,
+                              score_thresh=args.thresh)
+        return det.detect(img, score_thresh=args.thresh)
+
+    if dump_root:
+        from tpucenterface.data.wider import write_wider_detections
+
+        inner = det_fn
+
+        def det_fn(img, _inner=inner):  # noqa: F811
+            return _inner(img)
+
+    aps = evaluate_wider(
+        det_fn, args.gt_dir, args.images_root, max_images=args.max_images
+    )
+    print(json.dumps({f"AP_{k}": round(v, 4) for k, v in aps.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Training CLI (SURVEY.md §2 C9, L6 `train.py`)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Train tpucenterface on WIDER FACE")
+    p.add_argument("--wider-root", required=True,
+                   help="dir containing WIDER_train/images and the bbx_gt txt")
+    p.add_argument("--gt-file", default=None,
+                   help="default: <root>/wider_face_split/wider_face_train_bbx_gt.txt")
+    p.add_argument("--workdir", default="runs/train")
+    p.add_argument("--input-size", type=int, default=640)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=140)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--wh-log", action="store_true")
+    args = p.parse_args(argv)
+
+    from tpucenterface.config import ModelConfig, TrainConfig
+    from tpucenterface.data.wider import parse_bbx_gt
+    from tpucenterface.train.loop import train
+
+    gt = args.gt_file or os.path.join(
+        args.wider_root, "wider_face_split", "wider_face_train_bbx_gt.txt"
+    )
+    images = os.path.join(args.wider_root, "WIDER_train", "images")
+    records = parse_bbx_gt(gt, images)
+    print(f"[train] {len(records)} images")
+
+    tcfg = TrainConfig(
+        input_size=args.input_size,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        lr=args.lr,
+    )
+
+    def log(step, m):
+        print(f"[step {step}] " + json.dumps({k: round(v, 4) for k, v in m.items()}))
+
+    train(
+        records,
+        model_cfg=ModelConfig(),
+        train_cfg=tcfg,
+        workdir=args.workdir,
+        n_devices=args.n_devices,
+        max_steps=args.max_steps,
+        resume=not args.no_resume,
+        log_fn=log,
+        wh_log=args.wh_log,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,10 @@ class ModelConfig:
     hm_bias_init: float = -4.59511985013459
     # Conv/matmul compute dtype on TPU; heads are always computed/cast to f32.
     compute_dtype: str = "bfloat16"
+    # Inference hot path: BatchNorm pre-folded into conv kernel/bias
+    # (weights.fold.fold_variables); False for training. The Detector folds
+    # automatically.
+    folded: bool = False
 
     def width(self, c: int) -> int:
         """Apply width multiplier, rounding to multiple of 8 (MobileNet rule)."""
@@ -108,6 +112,12 @@ class PreprocessConfig:
     bgr_input: bool = True       # inputs are OpenCV BGR frames; flip to RGB
     center: bool = True          # center the letterboxed image (affine w/ center)
     method: str = "bilinear"
+    # Resize engine: 'matmul' lowers the bilinear letterbox to two batched
+    # MXU matmuls with per-image weight rows (6.5x faster than
+    # jax.image.scale_and_translate on v5e, bf16); 'scale_translate' is the
+    # f32 reference path used by strict-parity tests.
+    resize_impl: str = "matmul"
+    resize_dtype: str = "bfloat16"
 
 
 # ---------------------------------------------------------------------------

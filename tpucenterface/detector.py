@@ -40,11 +40,21 @@ class Detector:
         variables: Optional[Dict[str, Any]] = None,
         config: DetectorConfig = DetectorConfig(),
         rng: Optional[jax.Array] = None,
+        fold_bn: bool = True,
     ):
         self.config = config
-        self.model = CenterFaceNet(config.model)
         if variables is None:
             _, variables = init_model(config.model, rng=rng)
+        if fold_bn and not config.model.folded and "batch_stats" in variables:
+            # inference hot path: BN folded into conv weights (weights.fold)
+            from dataclasses import replace
+
+            from tpucenterface.weights.fold import fold_variables
+
+            variables = fold_variables(variables, bn_eps=config.model.bn_eps)
+            config = replace(config, model=replace(config.model, folded=True))
+            self.config = config
+        self.model = CenterFaceNet(config.model)
         self.variables = variables
         self._fn_cache: Dict[Tuple, Any] = {}
 

@@ -41,6 +41,7 @@ class MobileNetV2Backbone(nn.Module):
             bn_eps=cfg.bn_eps,
             bn_momentum=cfg.bn_momentum,
             dtype=dtype,
+            folded=cfg.folded,
         )
         x = x.astype(dtype)
         x = ConvBN(cfg.width(cfg.stem_channels), kernel=3, stride=2, name="stem", **kw)(

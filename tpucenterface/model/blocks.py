@@ -23,7 +23,14 @@ def _act(relu6: bool) -> Callable[[jnp.ndarray], jnp.ndarray]:
 
 
 class ConvBN(nn.Module):
-    """Conv -> BatchNorm -> (optional) ReLU6, NHWC."""
+    """Conv -> BatchNorm -> (optional) ReLU6, NHWC.
+
+    `folded=True` is the inference hot path: BN is pre-folded into the conv
+    kernel/bias (see weights.fold), so the layer is a single bf16 conv with a
+    fused activation epilogue. The unfolded path materializes f32 BN between
+    convs — at stride-4 bs32 that is ~0.5GB of HBM traffic per layer, the
+    measured dominant cost of the forward pass; keep it for training only.
+    """
 
     features: int
     kernel: int = 3
@@ -34,6 +41,7 @@ class ConvBN(nn.Module):
     bn_eps: float = 1e-5
     bn_momentum: float = 0.9
     dtype: jnp.dtype = jnp.bfloat16
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -47,11 +55,15 @@ class ConvBN(nn.Module):
             strides=(self.stride, self.stride),
             padding=((p, p), (p, p)),
             feature_group_count=self.groups,
-            use_bias=False,
+            use_bias=self.folded,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="conv",
         )(x)
+        if self.folded:
+            if self.act:
+                x = _act(self.relu6)(x)
+            return x.astype(self.dtype)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
@@ -74,6 +86,7 @@ class InvertedResidual(nn.Module):
     bn_eps: float = 1e-5
     bn_momentum: float = 0.9
     dtype: jnp.dtype = jnp.bfloat16
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -86,6 +99,7 @@ class InvertedResidual(nn.Module):
             bn_eps=self.bn_eps,
             bn_momentum=self.bn_momentum,
             dtype=self.dtype,
+            folded=self.folded,
         )
         if self.expand != 1:
             y = ConvBN(hidden, kernel=1, name="expand", **kw)(y, train)

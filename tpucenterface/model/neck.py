@@ -39,6 +39,7 @@ class FPNLiteNeck(nn.Module):
             bn_eps=cfg.bn_eps,
             bn_momentum=cfg.bn_momentum,
             dtype=dtype,
+            folded=cfg.folded,
         )
         strides = sorted(feats.keys(), reverse=True)  # [32, 16, 8, 4]
         c = cfg.fpn_channels

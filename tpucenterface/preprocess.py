@@ -37,6 +37,63 @@ def pad_to_bucket(img: np.ndarray, multiple: int = INPUT_PAD_MULTIPLE) -> np.nda
     return out
 
 
+def _letterbox_params(hw: jnp.ndarray, size: int, cfg: PreprocessConfig):
+    h = hw[..., 0].astype(jnp.float32)
+    w = hw[..., 1].astype(jnp.float32)
+    s = jnp.minimum(size / h, size / w)
+    if cfg.center:
+        pad_x = (size - w * s) * 0.5
+        pad_y = (size - h * s) * 0.5
+    else:
+        pad_x = jnp.zeros_like(s)
+        pad_y = jnp.zeros_like(s)
+    return s, pad_x, pad_y
+
+
+def _bilinear_rows(n_in: int, size: int, pad, scale, dtype) -> jnp.ndarray:
+    """Per-image bilinear resampling matrix (B, size, n_in), zero outside.
+
+    Output pixel o samples input coordinate (o + 0.5 - pad)/scale - 0.5 with
+    triangular (linear, no antialias) weights — cv2.INTER_LINEAR semantics.
+    """
+    o = jnp.arange(size, dtype=jnp.float32)[None, :, None]
+    i = jnp.arange(n_in, dtype=jnp.float32)[None, None, :]
+    u = (o + 0.5 - pad[:, None, None]) / scale[:, None, None] - 0.5
+    return jnp.maximum(0.0, 1.0 - jnp.abs(u - i)).astype(dtype)
+
+
+def letterbox_normalize_matmul(
+    imgs_u8: jnp.ndarray,
+    hws: jnp.ndarray,
+    size: int,
+    cfg: PreprocessConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched letterbox as two MXU matmuls (the TPU hot path).
+
+    imgs_u8 (B, Hp, Wp, 3) uint8, hws (B, 2) -> (x (B,S,S,3), scales (B,),
+    pads (B,2)). Bilinear weight rows are built per image on the VPU; the
+    resample itself is einsum over rows then columns — measured 6.5x faster
+    than per-image scale_and_translate at bs32 (see bench/timing.py for why
+    naive timings lied about this).
+    """
+    b, hp, wp, _ = imgs_u8.shape
+    dtype = jnp.dtype(cfg.resize_dtype)
+    s, pad_x, pad_y = _letterbox_params(hws, size, cfg)
+    wy = _bilinear_rows(hp, size, pad_y, s, dtype)
+    wx = _bilinear_rows(wp, size, pad_x, s, dtype)
+    x = imgs_u8.astype(dtype)
+    if cfg.bgr_input:
+        x = x[..., ::-1]
+    y = jnp.einsum("bsh,bhwc->bswc", wy, x, preferred_element_type=jnp.float32)
+    y = jnp.einsum(
+        "btw,bswc->bstc", wx, y.astype(dtype), preferred_element_type=jnp.float32
+    )
+    mean = jnp.asarray(cfg.mean, jnp.float32) * 255.0
+    std = jnp.asarray(cfg.std, jnp.float32) * 255.0
+    x = ((y - mean) / std).astype(dtype)
+    return x, s, jnp.stack([pad_x, pad_y], axis=-1)
+
+
 def letterbox_normalize(
     img_u8: jnp.ndarray,
     hw: jnp.ndarray,
@@ -50,16 +107,16 @@ def letterbox_normalize(
     Returns (x, scale, pad_xy): x (size, size, 3) f32 normalized RGB;
     scale the letterbox scale; pad_xy (2,) the [pad_x, pad_y] offset —
     both needed by `decode.boxes_to_original`.
+
+    Dispatches to the matmul implementation unless cfg.resize_impl says
+    otherwise (the scale_and_translate path is the f32 parity reference).
     """
-    h = hw[0].astype(jnp.float32)
-    w = hw[1].astype(jnp.float32)
-    s = jnp.minimum(size / h, size / w)
-    if cfg.center:
-        pad_x = (size - w * s) * 0.5
-        pad_y = (size - h * s) * 0.5
-    else:
-        pad_x = jnp.float32(0.0)
-        pad_y = jnp.float32(0.0)
+    if cfg.resize_impl == "matmul":
+        x, s, pads = letterbox_normalize_matmul(
+            img_u8[None], hw[None], size, cfg
+        )
+        return x[0], s[0], pads[0]
+    s, pad_x, pad_y = _letterbox_params(hw, size, cfg)
 
     x = img_u8.astype(jnp.float32)
     if cfg.bgr_input:
@@ -92,6 +149,8 @@ def letterbox_normalize_batch(
     imgs_u8: (B, Hp, Wp, 3) uint8; hws: (B, 2) int32.
     Returns x (B, size, size, 3), scales (B,), pads (B, 2).
     """
+    if cfg.resize_impl == "matmul":
+        return letterbox_normalize_matmul(imgs_u8, hws, size, cfg)
     return jax.vmap(lambda im, hw: letterbox_normalize(im, hw, size, cfg))(
         imgs_u8, hws
     )
