@@ -1,0 +1,75 @@
+"""CLI surface tests: demo pipeline, torch .pth port, bench-suite pieces."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+from tpucenterface.config import DetectorConfig, ModelConfig
+
+
+def test_port_weights_cli_roundtrip(tmp_path):
+    from tpucenterface.cli.port_weights import main as port_main
+    from tpucenterface.detector import Detector
+    from tpucenterface.weights.torch_twin import TorchCenterFace
+
+    cfg = ModelConfig(compute_dtype="float32")
+    torch.manual_seed(3)
+    twin = TorchCenterFace(cfg).eval()
+    pth = str(tmp_path / "twin.pth")
+    torch.save({"state_dict": twin.state_dict()}, pth)
+
+    out = str(tmp_path / "w.safetensors")
+    port_main(["--pth", pth, "--out", out])
+
+    det = Detector.from_safetensors(
+        out, config=DetectorConfig(model=cfg, default_size=64)
+    )
+    img = np.random.RandomState(0).randint(0, 255, (64, 64, 3), np.uint8)
+    boxes, scores = det.detect(img, score_thresh=0.0)
+    assert len(boxes) and np.isfinite(scores).all()
+
+    # ported detector must match the torch twin's heatmap on the same input
+    from tpucenterface.preprocess import letterbox_normalize
+    import jax.numpy as jnp
+
+    x, _, _ = letterbox_normalize(
+        jnp.asarray(img), jnp.asarray([64, 64], np.int32), 64,
+        det.config.preprocess,
+    )
+    with torch.no_grad():
+        t_hm = twin(torch.from_numpy(
+            np.asarray(x, np.float32).transpose(2, 0, 1)[None]
+        ))["hm"].numpy()[0, 0]
+    feats = det.model.apply(det.variables, x[None].astype(np.float32), train=False)
+    j_hm = np.asarray(feats["hm"])[0, ..., 0]
+    np.testing.assert_allclose(j_hm, t_hm, atol=5e-3)
+
+
+def test_demo_cli_synthetic(tmp_path, monkeypatch, capsys):
+    from tpucenterface.cli import demo
+
+    # tiny synthetic stream
+    rng = np.random.RandomState(0)
+
+    def frames(_source):
+        for _ in range(4):
+            yield rng.randint(0, 255, (96, 128, 3), np.uint8)
+
+    monkeypatch.setattr(demo, "_frames", frames)
+    demo.main(["--source", "synthetic", "--size", "64", "--max-frames", "4"])
+    out = capsys.readouterr().out
+    assert "4 frames" in out
+
+
+def test_profiling_helpers():
+    from tpucenterface.runtime.profiling import StepTimer, annotate
+
+    t = StepTimer()
+    t.tic()
+    with annotate("unit"):
+        pass
+    assert t.toc() >= 0.0
+    assert t.fps >= 0.0
