@@ -62,7 +62,8 @@ def config3_tta(det, wider_root=None, n_imgs=20) -> dict:
     shapes = [(480, 640), (720, 1280), (333, 500), (1024, 768)]
     imgs = [rng.randint(0, 255, s + (3,), np.uint8) for s in
             (shapes * ((n_imgs // len(shapes)) + 1))[:n_imgs]]
-    detect_tta(det, imgs[0], scales=(0.5, 1.0), flip=True)  # compile buckets
+    for img in imgs[: len(shapes)]:  # compile every (bucket, scale) signature
+        detect_tta(det, img, scales=(0.5, 1.0), flip=True)
     t0 = time.perf_counter()
     for img in imgs:
         detect_tta(det, img, scales=(0.5, 1.0), flip=True)

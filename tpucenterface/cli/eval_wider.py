@@ -33,8 +33,6 @@ def main(argv=None):
         print("[eval] no --weights: random-init model (AP will be ~0)")
         det = Detector()
 
-    dump_root = args.out_dets
-
     def det_fn(img):
         if args.tta:
             scales = tuple(float(s) for s in args.scales.split(","))
@@ -42,16 +40,19 @@ def main(argv=None):
                               score_thresh=args.thresh)
         return det.detect(img, score_thresh=args.thresh)
 
-    if dump_root:
+    on_det = None
+    if args.out_dets:
         from tpucenterface.data.wider import write_wider_detections
 
-        inner = det_fn
-
-        def det_fn(img, _inner=inner):  # noqa: F811
-            return _inner(img)
+        def on_det(rel, boxes, scores):
+            write_wider_detections(args.out_dets, rel, boxes, scores)
 
     aps = evaluate_wider(
-        det_fn, args.gt_dir, args.images_root, max_images=args.max_images
+        det_fn,
+        args.gt_dir,
+        args.images_root,
+        max_images=args.max_images,
+        on_detection=on_det,
     )
     print(json.dumps({f"AP_{k}": round(v, 4) for k, v in aps.items()}))
 

@@ -170,6 +170,9 @@ class TrainConfig:
     focal_alpha: float = 2.0
     focal_beta: float = 4.0
     max_objs: int = 128          # per-image cap on rendered GT boxes
+    # rematerialization: trade FLOPs for activation memory (jax.checkpoint
+    # around the forward) — enables bigger per-chip batches at high res
+    remat: bool = False
     # augmentation
     scale_range: Tuple[float, float] = (0.6, 1.4)
     shift_ratio: float = 0.1

@@ -53,6 +53,16 @@ def decode_feats(
     Returns boxes (B, K, 4) [x1,y1,x2,y2] in input pixels, scores (B, K).
     If feats has 'lm', also returns landmarks via decode_landmarks (separate fn).
     """
+    boxes, scores, _ = decode_feats_with_idx(feats, cfg)
+    return boxes, scores
+
+
+def decode_feats_with_idx(
+    feats: Dict[str, jnp.ndarray],
+    cfg: DecodeConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """As `decode_feats` but also returns the flat peak indices (B, K),
+    needed by the optional landmark gather."""
     hm, wh, off = feats["hm"], feats["wh"], feats["off"]
     b, h, w, _ = hm.shape
     k = cfg.max_dets
@@ -89,7 +99,7 @@ def decode_feats(
         ],
         axis=-1,
     )
-    return boxes, top_scores
+    return boxes, top_scores, top_idx
 
 
 def decode_landmarks(
@@ -110,6 +120,19 @@ def decode_landmarks(
         [(xs[..., None] + pts[..., 0]) * s, (ys[..., None] + pts[..., 1]) * s],
         axis=-1,
     )
+
+
+def landmarks_to_original(
+    lm: jnp.ndarray,
+    scale: jnp.ndarray,
+    pad_xy: jnp.ndarray,
+    orig_hw: jnp.ndarray,
+) -> jnp.ndarray:
+    """Inverse letterbox for landmark points (..., 5, 2) [x, y]."""
+    out = (lm - pad_xy.astype(lm.dtype)) / scale
+    h = orig_hw[0].astype(lm.dtype)
+    w = orig_hw[1].astype(lm.dtype)
+    return jnp.clip(out, 0.0, jnp.stack([w, h]))
 
 
 def boxes_to_original(

@@ -84,15 +84,28 @@ class Detector:
     # ------------------------------------------------------------------ #
 
     def _decode(self, feats: Dict[str, jnp.ndarray]):
+        """-> (boxes, scores, landmarks-or-None), all in model-input pixels."""
         cfg = self.config.decode
-        if cfg.use_pallas and jax.default_backend() == "tpu":
+        if (
+            cfg.use_pallas
+            and "lm" not in feats
+            and jax.default_backend() == "tpu"
+        ):
             try:
                 from tpucenterface.decode.pallas_decode import decode_feats_pallas
 
-                return decode_feats_pallas(feats, cfg)
+                boxes, scores = decode_feats_pallas(feats, cfg)
+                return boxes, scores, None
             except ImportError:
                 pass
-        return decode_feats(feats, cfg)
+        from tpucenterface.decode.reference import (
+            decode_feats_with_idx,
+            decode_landmarks,
+        )
+
+        boxes, scores, idx = decode_feats_with_idx(feats, cfg)
+        lm = decode_landmarks(feats, idx, cfg) if "lm" in feats else None
+        return boxes, scores, lm
 
     def _forward(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         return self.model.apply(self.variables, x, train=False)
@@ -107,8 +120,14 @@ class Detector:
                     img_u8, hw, size, self.config.preprocess
                 )
                 feats = self._forward(x[None])
-                boxes, scores = self._decode(feats)
+                boxes, scores, lm = self._decode(feats)
                 boxes = boxes_to_original(boxes[0], scale, pad, hw)
+                if lm is not None:
+                    from tpucenterface.decode.reference import landmarks_to_original
+
+                    return boxes, scores[0], landmarks_to_original(
+                        lm[0], scale, pad, hw
+                    )
                 return boxes, scores[0]
 
             self._fn_cache[key] = run
@@ -124,8 +143,14 @@ class Detector:
                     imgs_u8, hws, size, self.config.preprocess
                 )
                 feats = self._forward(x)
-                boxes, scores = self._decode(feats)
+                boxes, scores, lm = self._decode(feats)
                 boxes = jax.vmap(boxes_to_original)(boxes, scales, pads, hws)
+                if lm is not None:
+                    from tpucenterface.decode.reference import landmarks_to_original
+
+                    return boxes, scores, jax.vmap(landmarks_to_original)(
+                        lm, scales, pads, hws
+                    )
                 return boxes, scores
 
             self._fn_cache[key] = run
@@ -155,10 +180,12 @@ class Detector:
         h, w = image.shape[:2]
         padded = pad_to_bucket(image)
         fn = self._single_fn(padded.shape[:2], size)
-        boxes, scores = fn(jnp.asarray(padded), jnp.array([h, w], jnp.int32))
-        boxes = np.asarray(boxes)
-        scores = np.asarray(scores)
+        out = fn(jnp.asarray(padded), jnp.array([h, w], jnp.int32))
+        boxes = np.asarray(out[0])
+        scores = np.asarray(out[1])
         keep = scores >= thresh
+        if len(out) == 3:  # landmark-headed model
+            return boxes[keep], scores[keep], np.asarray(out[2])[keep]
         return boxes[keep], scores[keep]
 
     def detect_batch(
@@ -178,13 +205,17 @@ class Detector:
         if hws is None:
             hws = np.tile(np.array(images.shape[1:3], np.int32), (b, 1))
         fn = self._batch_fn(b, images.shape[1:3], size)
-        boxes, scores = fn(jnp.asarray(images), jnp.asarray(hws))
-        boxes = np.asarray(boxes)
-        scores = np.asarray(scores)
+        res = fn(jnp.asarray(images), jnp.asarray(hws))
+        boxes = np.asarray(res[0])
+        scores = np.asarray(res[1])
+        lms = np.asarray(res[2]) if len(res) == 3 else None
         out = []
         for i in range(b):
             keep = scores[i] >= thresh
-            out.append((boxes[i][keep], scores[i][keep]))
+            if lms is not None:
+                out.append((boxes[i][keep], scores[i][keep], lms[i][keep]))
+            else:
+                out.append((boxes[i][keep], scores[i][keep]))
         return out
 
     def warmup(self, shapes=((640, 640),), size: Optional[int] = None) -> None:

@@ -205,9 +205,13 @@ def evaluate_wider(
     images_root: str,
     subsets: Sequence[str] = ("easy", "medium", "hard"),
     max_images: Optional[int] = None,
+    on_detection=None,
 ) -> Dict[str, float]:
     """Full WIDER val evaluation: run `det_fn(img_bgr) -> (boxes, scores)` over
-    the val tree and score against the official .mat GT."""
+    the val tree and score against the official .mat GT.
+
+    `on_detection(rel_path, boxes, scores)` is called per image if given
+    (e.g. to dump WIDER-format detection txts)."""
     import cv2
 
     gt = load_wider_gt(gt_dir)
@@ -224,6 +228,8 @@ def evaluate_wider(
                 dets_cache[rel] = np.zeros((0, 5), np.float64)
                 continue
             boxes, scores = det_fn(img)
+            if on_detection is not None:
+                on_detection(rel, boxes, scores)
             dets_cache[rel] = np.concatenate(
                 [boxes.reshape(-1, 4), scores.reshape(-1, 1)], axis=1
             )

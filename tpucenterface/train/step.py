@@ -89,13 +89,21 @@ def make_train_step(
             x = (x / 255.0 - mean) / std
         return x  # float inputs pass through (tests feed pre-normalized)
 
-    def loss_fn(params, batch_stats, batch):
-        outputs, mutated = model.apply(
+    def _apply(params, batch_stats, x):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
-            _normalize(batch["image"]),
+            x,
             train=True,
             mutable=["batch_stats"],
         )
+
+    if train_cfg.remat:
+        # rematerialize the forward: activations recomputed in the backward
+        # pass instead of stored — memory for FLOPs (jax.checkpoint)
+        _apply = jax.checkpoint(_apply)
+
+    def loss_fn(params, batch_stats, batch):
+        outputs, mutated = _apply(params, batch_stats, _normalize(batch["image"]))
         total, metrics = detection_loss(outputs, batch, train_cfg)
         return total, (metrics, mutated["batch_stats"])
 
