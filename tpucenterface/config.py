@@ -59,6 +59,10 @@ class ModelConfig:
     # (weights.fold.fold_variables); False for training. The Detector folds
     # automatically.
     folded: bool = False
+    # Inference hot path: head branches merged into one wide conv +
+    # block-diagonal 1x1 (weights.fold.fuse_head_params). Requires folded
+    # weights; the Detector applies it automatically when head_conv > 0.
+    fused_heads: bool = False
 
     def width(self, c: int) -> int:
         """Apply width multiplier, rounding to multiple of 8 (MobileNet rule)."""

@@ -46,13 +46,20 @@ class Detector:
         if variables is None:
             _, variables = init_model(config.model, rng=rng)
         if fold_bn and not config.model.folded and "batch_stats" in variables:
-            # inference hot path: BN folded into conv weights (weights.fold)
+            # inference hot path: BN folded into conv weights + head branches
+            # merged into one wide conv pair (weights.fold)
             from dataclasses import replace
 
             from tpucenterface.weights.fold import fold_variables
 
-            variables = fold_variables(variables, bn_eps=config.model.bn_eps)
-            config = replace(config, model=replace(config.model, folded=True))
+            fuse = config.model.head_conv > 0
+            variables = fold_variables(
+                variables, bn_eps=config.model.bn_eps, fuse_heads=fuse
+            )
+            config = replace(
+                config,
+                model=replace(config.model, folded=True, fused_heads=fuse),
+            )
             self.config = config
         self.model = CenterFaceNet(config.model)
         self.variables = variables

@@ -51,6 +51,25 @@ class CenterNetHeads(nn.Module):
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
+        if cfg.fused_heads:
+            # single wide conv + block-diagonal 1x1 (weights.fold.fuse_head_
+            # params); mathematically identical to the separate branches but
+            # 2 dense ops instead of 6-8 skinny ones (small-batch occupancy)
+            names = [("hm", cfg.num_classes), ("wh", 2), ("off", 2)]
+            if cfg.with_landmarks:
+                names.append(("lm", 10))
+            total_out = sum(n for _, n in names)
+            y = _Head(
+                total_out,
+                cfg.head_conv * len(names),
+                dtype=dtype,
+                name="fused",
+            )(x)
+            out, c0 = {}, 0
+            for name, n in names:
+                out[name] = y[..., c0 : c0 + n]
+                c0 += n
+            return out
         out = {
             "hm": _Head(
                 cfg.num_classes,

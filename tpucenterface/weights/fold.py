@@ -18,13 +18,45 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def fuse_head_params(heads: Dict[str, Any], names) -> Dict[str, Any]:
+    """Merge per-branch head params into one wide conv + block-diagonal 1x1.
+
+    The three (or four, with landmarks) head branches are independent
+    subnetworks on the same stride-4 input; concatenating their hidden
+    channels and block-diagonalizing the output 1x1 is mathematically
+    identical but runs as 2 dense ops instead of 6-8 skinny ones — a win in
+    the small-batch occupancy-bound regime (see PERFORMANCE.md).
+    """
+    ks = [np.asarray(heads[n]["conv"]["kernel"]) for n in names]
+    bs = [np.asarray(heads[n]["conv"]["bias"]) for n in names]
+    ows = [np.asarray(heads[n]["out"]["kernel"]) for n in names]
+    obs = [np.asarray(heads[n]["out"]["bias"]) for n in names]
+    hidden = [k.shape[-1] for k in ks]
+    outs = [w.shape[-1] for w in ows]
+    kcat = np.concatenate(ks, axis=-1)                    # (3,3,C, sum_hidden)
+    bcat = np.concatenate(bs, axis=-1)
+    wblk = np.zeros((1, 1, sum(hidden), sum(outs)), kcat.dtype)
+    ho = co = 0
+    for h, o, w in zip(hidden, outs, ows):
+        wblk[0, 0, ho : ho + h, co : co + o] = w[0, 0]
+        ho += h
+        co += o
+    oblk = np.concatenate(obs, axis=-1)
+    return {
+        "conv": {"kernel": jnp.asarray(kcat), "bias": jnp.asarray(bcat)},
+        "out": {"kernel": jnp.asarray(wblk), "bias": jnp.asarray(oblk)},
+    }
+
+
 def fold_variables(
-    variables: Dict[str, Any], bn_eps: float = 1e-5
+    variables: Dict[str, Any], bn_eps: float = 1e-5, fuse_heads: bool = False
 ) -> Dict[str, Any]:
     """Fold every {conv, bn} sibling pair into a biased conv; drop batch_stats.
 
     Returns {'params': folded_tree} for a ModelConfig(folded=True) model.
-    Head scopes (conv/out with native biases, no bn sibling) pass through.
+    Head scopes (conv/out with native biases, no bn sibling) pass through,
+    or get merged into a single 'fused' scope with fuse_heads=True (pair with
+    ModelConfig(fused_heads=True)).
     """
     params = variables["params"]
     stats = variables["batch_stats"]
@@ -50,4 +82,9 @@ def fold_variables(
             }
         return p_node
 
-    return {"params": rec(params, stats)}
+    out = rec(params, stats)
+    if fuse_heads:
+        names = [n for n in ("hm", "wh", "off", "lm") if n in out["heads"]]
+        out = dict(out)
+        out["heads"] = {"fused": fuse_head_params(out["heads"], names)}
+    return {"params": out}
