@@ -1,0 +1,50 @@
+"""int8 W8A8 PTQ engine tests (quant.engine)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpucenterface.config import ModelConfig
+from tpucenterface.model.centernet import init_model
+from tpucenterface.quant import QuantEngine
+from tpucenterface.weights.fold import fold_variables
+
+CFG = ModelConfig(compute_dtype="float32")
+
+
+def _engine():
+    _, variables = init_model(CFG, rng=jax.random.PRNGKey(6), input_size=64)
+    return QuantEngine(fold_variables(variables), CFG)
+
+
+def test_calibrate_then_quant_close_to_float():
+    eng = _engine()
+    rng = np.random.RandomState(0)
+    cal = [rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1 for _ in range(3)]
+    scales = eng.calibrate(cal)
+    assert scales and all(v > 0 for v in scales.values())
+    x = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    f = eng.float_forward(jnp.asarray(x))
+    q = eng(jnp.asarray(x))
+    for k in ("hm", "wh", "off"):
+        a = np.asarray(f[k], np.float32)
+        b = np.asarray(q[k], np.float32)
+        # int8 PTQ tolerance: head maps within a small fraction of their range
+        rng_k = max(float(a.max() - a.min()), 1e-3)
+        rel = float(np.abs(a - b).mean()) / rng_k
+        assert rel < 0.05, (k, rel)
+
+
+def test_quant_forward_is_jittable():
+    eng = _engine()
+    rng = np.random.RandomState(1)
+    eng.calibrate([rng.rand(1, 64, 64, 3).astype(np.float32)])
+    out = jax.jit(eng)(jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert out["hm"].shape == (1, 16, 16, 1)
+    assert np.isfinite(np.asarray(out["hm"])).all()
+
+
+def test_uncalibrated_engine_runs_float():
+    eng = _engine()
+    out = eng(jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert out["hm"].dtype == jnp.float32

@@ -1,0 +1,179 @@
+"""W8A8 post-training quantized inference engine.
+
+One traversal function drives three modes:
+- 'float'     : plain bf16 folded forward (reference for parity tests)
+- 'calibrate' : bf16 forward that records per-conv-input absolute maxima
+- 'quant'     : int8 weights (per-output-channel scales, precomputed) x
+                int8 activations (per-layer scales from calibration) on the
+                MXU ops; depthwise stays bf16; requantization fuses into the
+                conv epilogue (int32 -> f32 scale+bias+ReLU6 -> bf16).
+
+Scale conventions: symmetric, x_q = clip(round(x / s), -127, 127).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpucenterface.config import ModelConfig
+from tpucenterface.model.backbone import backbone_plan
+
+
+def _quantize_weight(k: jnp.ndarray):
+    """Per-output-channel symmetric int8 weight quant; k is HWIO."""
+    amax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
+    sw = jnp.maximum(amax, 1e-8) / 127.0
+    kq = jnp.clip(jnp.round(k / sw), -127, 127).astype(jnp.int8)
+    return kq, sw.astype(jnp.float32)
+
+
+class QuantEngine:
+    def __init__(self, folded_variables: Dict[str, Any], cfg: ModelConfig):
+        self.cfg = cfg
+        self.p = jax.tree.map(jnp.asarray, folded_variables["params"])
+        if "fused" not in self.p.get("heads", {}):
+            from tpucenterface.weights.fold import fuse_head_params
+
+            names = [n for n in ("hm", "wh", "off", "lm") if n in self.p["heads"]]
+            heads = fuse_head_params(self.p["heads"], names)
+            self.p = dict(self.p)
+            self.p["heads"] = {"fused": heads}
+        self.plan = backbone_plan(cfg)
+        self.act_scales: Optional[Dict[str, float]] = None
+        self._amax: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------ #
+
+    def _conv(
+        self,
+        tag: str,
+        mode: str,
+        x: jnp.ndarray,
+        k: jnp.ndarray,
+        b: jnp.ndarray,
+        stride: int = 1,
+        groups: int = 1,
+        act: str = "relu6",
+        out_dtype=jnp.bfloat16,
+    ) -> jnp.ndarray:
+        kh = k.shape[0]
+        pad = (kh - 1) // 2
+        quantize = mode == "quant" and groups == 1  # MXU ops only
+        if mode == "calibrate":
+            amax = float(jnp.max(jnp.abs(x)))
+            self._amax[tag] = max(self._amax.get(tag, 0.0), amax, 1e-6)
+        if quantize:
+            sx = jnp.float32(self.act_scales[tag] / 127.0)
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(
+                jnp.int8
+            )
+            # weights are trace constants: XLA folds this quantization at
+            # compile time (do NOT cache — caching traced values leaks tracers)
+            kq, sw = _quantize_weight(k)
+            y = jax.lax.conv_general_dilated(
+                xq,
+                kq,
+                (stride, stride),
+                [(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            y = y.astype(jnp.float32) * (sx * sw) + b.astype(jnp.float32)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(jnp.bfloat16),
+                k.astype(jnp.bfloat16),
+                (stride, stride),
+                [(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups,
+                preferred_element_type=jnp.float32,
+            )
+            y = y + b.astype(jnp.float32)
+        if act == "relu6":
+            y = jnp.minimum(jnp.maximum(y, 0.0), 6.0)
+        elif act == "relu":
+            y = jnp.maximum(y, 0.0)
+        return y.astype(out_dtype)
+
+    # ------------------------------------------------------------------ #
+
+    def _forward(self, x: jnp.ndarray, mode: str) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        bb = self.p["backbone"]
+        act = "relu6" if cfg.relu6 else "relu"
+
+        def cb(tag, node, z, stride=1, groups=1, a=act):
+            return self._conv(
+                tag, mode, z, node["conv"]["kernel"], node["conv"]["bias"],
+                stride=stride, groups=groups, act=a,
+            )
+
+        y = cb("stem", bb["stem"], x, stride=2)
+        feats: Dict[int, jnp.ndarray] = {}
+        for i, (t, c, s, out_stride) in enumerate(self.plan):
+            blk = bb[f"block_{i}"]
+            z = y
+            if t != 1:
+                z = cb(f"b{i}.expand", blk["expand"], z)
+            ce = z.shape[-1]
+            z = cb(f"b{i}.dw", blk["depthwise"], z, stride=s, groups=ce)
+            z = cb(f"b{i}.project", blk["project"], z, a="none")
+            skip = s == 1 and y.shape[-1] == z.shape[-1]
+            y = y + z if skip else z
+            nxt = self.plan[i + 1] if i + 1 < len(self.plan) else None
+            if out_stride >= 4 and (nxt is None or nxt[3] > out_stride):
+                feats[out_stride] = y
+
+        nk = self.p["neck"]
+        strides = sorted(feats.keys(), reverse=True)
+        y = cb(f"lat{strides[0]}", nk[f"lateral_{strides[0]}"], feats[strides[0]])
+        for s in strides[1:]:
+            lat = cb(f"lat{s}", nk[f"lateral_{s}"], feats[s])
+            bsz, hh, ww, cc = y.shape
+            up = jnp.broadcast_to(
+                y[:, :, None, :, None, :], (bsz, hh, 2, ww, 2, cc)
+            ).reshape(bsz, 2 * hh, 2 * ww, cc)
+            y = up + lat
+            y = cb(f"smooth{s}", nk[f"smooth_{s}"], y)
+
+        hf = self.p["heads"]["fused"]
+        z = self._conv("head.conv", mode, y, hf["conv"]["kernel"],
+                       hf["conv"]["bias"], act="relu")
+        out_full = self._conv(
+            "head.out", mode, z, hf["out"]["kernel"], hf["out"]["bias"],
+            act="none", out_dtype=jnp.float32,
+        )
+        names = [("hm", cfg.num_classes), ("wh", 2), ("off", 2)]
+        if cfg.with_landmarks:
+            names.append(("lm", 10))
+        out, c0 = {}, 0
+        for name, n in names:
+            out[name] = out_full[..., c0 : c0 + n]
+            c0 += n
+        return out
+
+    # ------------------------------------------------------------------ #
+
+    def calibrate(self, batches: List[np.ndarray]) -> Dict[str, float]:
+        """Run bf16 forwards recording per-conv-input amax -> set act scales.
+
+        batches: normalized NHWC float arrays (same distribution as serving).
+        """
+        self._amax = {}
+        for x in batches:
+            self._forward(jnp.asarray(x), "calibrate")
+        self.act_scales = dict(self._amax)
+        return self.act_scales
+
+    def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        if self.act_scales is None:
+            return self._forward(x, "float")
+        return self._forward(x, "quant")
+
+    def float_forward(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return self._forward(x, "float")
