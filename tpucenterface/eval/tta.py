@@ -11,9 +11,19 @@ import numpy as np
 
 
 def nms(dets: np.ndarray, thresh: float = 0.4) -> np.ndarray:
-    """Greedy IoU NMS over (N, 5) xyxy+score; returns kept indices."""
+    """Greedy IoU NMS over (N, 5) xyxy+score; returns kept indices.
+
+    Uses the C++ extension (native/nms_ext.cpp) when buildable; the numpy
+    loop below is the reference implementation and fallback.
+    """
     if len(dets) == 0:
         return np.zeros(0, np.int64)
+    from tpucenterface import native
+
+    order0 = np.argsort(-dets[:, 4], kind="stable")
+    kept = native.nms(dets[order0], thresh)
+    if kept is not None:
+        return order0[kept]
     x1, y1, x2, y2, s = dets.T
     areas = (x2 - x1 + 1) * (y2 - y1 + 1)
     order = np.argsort(-s, kind="stable")

@@ -26,9 +26,18 @@ NUM_THRESH = 1000
 
 
 def bbox_overlaps(boxes: np.ndarray, query: np.ndarray) -> np.ndarray:
-    """IoU matrix (N, M) for xyxy boxes; vectorized numpy."""
+    """IoU matrix (N, M) for xyxy boxes (+1 pixel convention).
+
+    C++ extension when available (native/); vectorized numpy fallback below
+    doubles as the reference implementation.
+    """
     if len(boxes) == 0 or len(query) == 0:
         return np.zeros((len(boxes), len(query)), np.float64)
+    from tpucenterface import native
+
+    out = native.bbox_overlaps(boxes, query)
+    if out is not None:
+        return out
     b = boxes[:, None, :]  # (N,1,4)
     q = query[None, :, :]  # (1,M,4)
     ix = np.maximum(

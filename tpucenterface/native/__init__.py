@@ -1,0 +1,88 @@
+"""Native (C++) eval kernels with transparent numpy fallback.
+
+`bbox_overlaps` and `nms` mirror the numpy reference implementations in
+`eval.wider_eval` / `eval.tta` exactly (property-tested); the shared library
+is built on first use with g++ and loaded via ctypes (no pybind in this
+image). If no toolchain is available the numpy paths serve alone.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "nms_ext.cpp")
+    so = os.path.join(here, "libnms_ext.so")
+    try:
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", src, "-o", so],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        lib = ctypes.CDLL(so)
+        lib.bbox_overlaps.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.nms.restype = ctypes.c_int64
+        lib.nms.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_int64),
+        ]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def bbox_overlaps(boxes: np.ndarray, query: np.ndarray) -> Optional[np.ndarray]:
+    """C++ IoU matrix, or None if the native lib is unavailable."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    b = np.ascontiguousarray(boxes, np.float64)
+    q = np.ascontiguousarray(query, np.float64)
+    out = np.empty((len(b), len(q)), np.float64)
+    if len(b) and len(q):
+        lib.bbox_overlaps(
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(b),
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(q),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+    return out
+
+
+def nms(dets_sorted: np.ndarray, thresh: float) -> Optional[np.ndarray]:
+    """C++ greedy NMS over score-descending (N,5) dets, or None."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(dets_sorted, np.float32)
+    keep = np.empty(len(d), np.int64)
+    n = lib.nms(
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(d),
+        ctypes.c_float(thresh),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    ) if len(d) else 0
+    return keep[:n]
