@@ -52,6 +52,29 @@ def test_head_map_parity(twin_and_flax):
         np.testing.assert_allclose(j, t, atol=2e-3, err_msg=k)
 
 
+def test_reverse_port_roundtrip(twin_and_flax):
+    """flax -> torch -> flax must be the identity (C14 both directions)."""
+    from flax.traverse_util import flatten_dict
+
+    from tpucenterface.weights.port import (
+        flax_from_torch_state,
+        torch_state_from_flax,
+    )
+
+    _, _, variables = twin_and_flax
+    sd = torch_state_from_flax(variables)
+    back = flax_from_torch_state(sd, CFG)
+    fa = flatten_dict(variables, sep="/")
+    fb = flatten_dict(back, sep="/")
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]), err_msg=k)
+
+    # and it loads into a real torch module
+    twin2 = TorchCenterFace(CFG)
+    twin2.load_state_dict({k: torch.from_numpy(np.array(v)) for k, v in sd.items()})
+
+
 def test_port_rejects_missing_keys():
     twin = TorchCenterFace(CFG)
     sd = twin.state_dict()

@@ -89,6 +89,26 @@ def flax_from_torch_module(module, cfg: ModelConfig) -> Dict[str, Any]:
     return flax_from_torch_state(module.state_dict(), cfg)
 
 
+def torch_state_from_flax(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse port: flax {params, batch_stats} -> torch state_dict (numpy).
+
+    Exact inverse of `flax_from_torch_state` (HWIO -> OIHW); lets users take
+    JAX-trained weights back into the torch twin (validation, downstream
+    torch-side export — SURVEY.md §2 C14).
+    """
+    flat = flatten_dict(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    )
+    out: Dict[str, Any] = {}
+    for path, leaf in flat.items():
+        tk, transpose = _torch_key(path)
+        w = np.asarray(leaf)
+        if transpose:
+            w = np.transpose(w, (3, 2, 0, 1))
+        out[tk] = w
+    return out
+
+
 def load_torch_pth(path: str, cfg: ModelConfig) -> Dict[str, Any]:
     """Load a `.pth` checkpoint file and port it.
 
