@@ -101,6 +101,9 @@ def _decode_kernel(
         bw, bh = _pick(whx_ref), _pick(why_ref)
         if wh_log:
             bw, bh = jnp.exp(bw), jnp.exp(bh)
+        else:
+            bw = jnp.maximum(bw, 0.0)  # match golden's negative-size clamp
+            bh = jnp.maximum(bh, 0.0)
 
         hit = out_lane == i                   # one-hot accumulate (no dynamic
         sv = jnp.where(hit, g, sv)            # lane-dim stores on TPU)

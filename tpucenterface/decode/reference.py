@@ -86,8 +86,10 @@ def decode_feats_with_idx(
         bw = jnp.exp(wh_g[..., 0])
         bh = jnp.exp(wh_g[..., 1])
     else:
-        bw = wh_g[..., 0]
-        bh = wh_g[..., 1]
+        # clamp: an (untrained) wh head can emit negative sizes, which would
+        # produce inverted x1>x2 boxes; trained models are unaffected
+        bw = jnp.maximum(wh_g[..., 0], 0.0)
+        bh = jnp.maximum(wh_g[..., 1], 0.0)
 
     s = float(cfg.stride)
     boxes = jnp.stack(

@@ -73,7 +73,7 @@ class FastEngine:
         self,
         folded_variables: Dict[str, Any],
         cfg: ModelConfig,
-        use_mbconv_kernel: bool = True,
+        use_mbconv_kernel: bool = False,  # XLA wins on v5e (PERFORMANCE.md)
         kernel_interpret: bool = False,
         min_kernel_hw: int = 24,
     ):
