@@ -147,6 +147,22 @@ class DetectorConfig:
     default_size: int = 640
 
 
+def preset(name: str) -> DetectorConfig:
+    """Named model-size presets (the reference family ships width variants).
+
+    'default' (width 1.0) / 'small' (0.5) / 'large' (1.4, 48ch FPN).
+    """
+    if name == "default":
+        return DetectorConfig()
+    if name == "small":
+        return DetectorConfig(model=ModelConfig(width_mult=0.5))
+    if name == "large":
+        return DetectorConfig(
+            model=ModelConfig(width_mult=1.4, fpn_channels=48, head_conv=48)
+        )
+    raise KeyError(f"unknown preset '{name}' (default|small|large)")
+
+
 # ---------------------------------------------------------------------------
 # Training (L0/L1 of SURVEY.md §1; inference-first, built after parity)
 # ---------------------------------------------------------------------------
