@@ -54,3 +54,30 @@ def test_detector_autofolds_and_detects():
     bu, su = det_u.detect(img, score_thresh=0.0)
     np.testing.assert_allclose(sf, su, atol=1e-4)
     np.testing.assert_allclose(bf, bu, atol=5e-3)
+
+
+def test_s2d_stem_matches_3x3_stem_exactly():
+    """The space-to-depth stem (2x2/s1 conv on s2d-12ch input with remapped
+    weights) must be arithmetically identical to the 3x3/s2 stem."""
+    variables = _randomized_variables()
+    folded = fold_variables(variables, bn_eps=CFG.bn_eps)
+    folded_s2d = fold_variables(variables, bn_eps=CFG.bn_eps, s2d_stem=True)
+    fmodel = CenterFaceNet(replace(CFG, folded=True))
+    smodel = CenterFaceNet(replace(CFG, folded=True, s2d_stem=True))
+    x = np.random.RandomState(2).rand(2, 64, 64, 3).astype(np.float32)
+    a = jax.jit(lambda v, xx: fmodel.apply(v, xx, train=False))(folded, x)
+    b = jax.jit(lambda v, xx: smodel.apply(v, xx, train=False))(folded_s2d, x)
+    for k in ("hm", "wh", "off"):
+        np.testing.assert_allclose(
+            np.asarray(b[k]), np.asarray(a[k]), atol=1e-5, err_msg=k
+        )
+
+
+def test_detector_enables_s2d_stem():
+    det = Detector(
+        variables=_randomized_variables(),
+        config=DetectorConfig(model=CFG, default_size=64),
+    )
+    assert det.config.model.s2d_stem
+    k = np.asarray(det.variables["params"]["backbone"]["stem"]["conv"]["kernel"])
+    assert k.shape[:2] == (2, 2) and k.shape[2] == 12

@@ -49,3 +49,14 @@ def test_detector_uses_fused_heads():
     img = np.zeros((64, 64, 3), np.uint8)
     boxes, scores = det.detect(img, score_thresh=0.0)
     assert np.isfinite(scores).all()
+
+
+def test_fused_head_scratch_init_carries_hm_prior_bias():
+    """A fused_heads model initialized from scratch must still have the
+    heatmap prior bias (-4.595) on the hm slice of the fused out-conv
+    (ADVICE r1: previously silently dropped to 0)."""
+    cfg = replace(CFG, folded=True, fused_heads=True)
+    _, variables = init_model(cfg, rng=jax.random.PRNGKey(1), input_size=64)
+    bias = np.asarray(variables["params"]["heads"]["fused"]["out"]["bias"])
+    assert np.allclose(bias[: cfg.num_classes], cfg.hm_bias_init)
+    assert np.allclose(bias[cfg.num_classes :], 0.0)

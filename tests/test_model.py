@@ -82,3 +82,17 @@ def test_param_count_lightweight():
     )
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
     assert n < 4_000_000, f"model not lightweight: {n} params"
+
+
+def test_width_mult_make_divisible_90pct_floor():
+    """width() must follow torchvision's full _make_divisible rule, including
+    the 90% floor (ADVICE r1): 89 * 0.4 = 35.6 rounds to 32 which is < 0.9 *
+    35.6, so the result bumps to 40."""
+    from tpucenterface.config import ModelConfig
+
+    cfg = ModelConfig(width_mult=0.4)
+    assert cfg.width(89) == 40
+    # plain rounding still intact
+    cfg5 = ModelConfig(width_mult=0.5)
+    assert cfg5.width(32) == 16
+    assert cfg5.width(16) == 8

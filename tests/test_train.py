@@ -122,3 +122,66 @@ def test_train_loop_end_to_end(tiny_dataset, tmp_path):
     )
     boxes, scores = det.detect(np.zeros((64, 64, 3), np.uint8), score_thresh=0.0)
     assert boxes.shape[1] == 4
+
+
+def test_train_loop_no_per_step_host_sync(tiny_dataset, tmp_path, monkeypatch):
+    """The loop must enqueue multiple steps before any blocking device fetch
+    (VERDICT r1 #6): the step counter lives on the host; metrics/state are
+    only materialized at log/ckpt boundaries."""
+    import tpucenterface.train.loop as loop_mod
+
+    events = []
+
+    class _Proxy:
+        """Stands in for a device scalar; records materialization."""
+
+        def __init__(self, v):
+            self._v = v
+
+        def __int__(self):
+            events.append("fetch")
+            return int(self._v)
+
+        def __float__(self):
+            events.append("fetch")
+            return float(self._v)
+
+        def items(self):  # metrics dict duck-typing not needed; unused
+            return []
+
+    real_shard = loop_mod.shard_train_step
+
+    def fake_shard(step_fn, mesh, state):
+        def fake_jitted(st, batch):
+            import dataclasses
+
+            events.append("step")
+            n = len([e for e in events if e == "step"])
+            return dataclasses.replace(st, step=_Proxy(n)), {"loss": _Proxy(1.0)}
+
+        return fake_jitted, state
+
+    monkeypatch.setattr(loop_mod, "shard_train_step", fake_shard)
+    monkeypatch.setattr(loop_mod, "save_checkpoint", lambda *a, **k: "skipped")
+    monkeypatch.setattr(loop_mod, "export_weights", lambda *a, **k: "skipped")
+
+    mcfg = ModelConfig(compute_dtype="float32")
+    tcfg = TrainConfig(input_size=64, batch_size=8, max_objs=8)
+    loop_mod.train(
+        tiny_dataset,
+        model_cfg=mcfg,
+        train_cfg=tcfg,
+        workdir=str(tmp_path / "run2"),
+        max_steps=4,
+        log_every=100,      # no log fetch within the run
+        ckpt_every=0,       # no ckpt fetch within the run
+        log_fn=lambda s, m: None,
+        resume=False,
+    )
+    steps_before_first_fetch = 0
+    for e in events:
+        if e == "fetch":
+            break
+        steps_before_first_fetch += 1
+    assert steps_before_first_fetch >= 2, events
+    _ = real_shard  # keep a reference; silences lint about unused capture

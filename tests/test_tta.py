@@ -52,3 +52,17 @@ def test_detect_tta_respects_max_dets():
         det, img, scales=(1.0,), flip=True, score_thresh=0.0, max_dets=5
     )
     assert len(boxes) <= 5
+
+
+def test_flip_unmirror_exact_mapping():
+    """img[:, ::-1] maps pixel x -> w-1-x; the un-mirror must invert exactly."""
+
+    class Fake:
+        def detect(self, img, **kw):
+            return np.array([[10.0, 5.0, 20.0, 15.0]]), np.array([0.9])
+
+    w = 100
+    img = np.zeros((50, w, 3), np.uint8)
+    boxes, scores = flip_detect(Fake(), img)
+    assert np.allclose(boxes[0], [w - 1 - 20.0, 5.0, w - 1 - 10.0, 15.0])
+    assert scores[0] == 0.9

@@ -34,9 +34,15 @@ def op_time_ms(
         @jax.jit
         def run(*a):
             def body(i, c):
-                # perturb the first arg by a negligible carry-dependent amount
-                # so each iteration is a fresh computation
-                a0 = a[0] + (c * 1e-30).astype(a[0].dtype if hasattr(a[0], "dtype") else jnp.float32)
+                # perturb every leaf of the first arg by a negligible
+                # carry-dependent amount so each iteration is a fresh
+                # computation (works for array or pytree first args)
+                a0 = jax.tree.map(
+                    lambda l: l + (c * 1e-30).astype(l.dtype)
+                    if jnp.issubdtype(l.dtype, jnp.floating)
+                    else l,
+                    a[0],
+                )
                 out = op(a0, *a[1:])
                 leaves = jax.tree.leaves(out)
                 s = sum(jnp.sum(l, dtype=jnp.float32) for l in leaves)

@@ -63,13 +63,28 @@ class ModelConfig:
     # block-diagonal 1x1 (weights.fold.fuse_head_params). Requires folded
     # weights; the Detector applies it automatically when head_conv > 0.
     fused_heads: bool = False
+    # Inference hot path: space-to-depth stem. The 3x3/stride-2 stem conv on
+    # 3 channels is algebraically identical to a 2x2/stride-1 conv on the
+    # 2x-space-to-depth input (12 channels, pad top/left) — same arithmetic,
+    # but the MXU contraction goes K=27 im2col -> K=48 dense with no strided
+    # 3-channel window (measured: the naive stem ran 6x off the HBM roofline
+    # at bs32@640). Requires folded weights remapped by weights.fold
+    # (s2d_stem=True) and an even input size; the Detector applies it
+    # automatically.
+    s2d_stem: bool = False
 
     def width(self, c: int) -> int:
-        """Apply width multiplier, rounding to multiple of 8 (MobileNet rule)."""
+        """Apply width multiplier with the full MobileNet `_make_divisible`
+        rule (round to nearest multiple of 8, floor 8, and the 90% rule:
+        never round below 0.9x the scaled value) so width-variant presets
+        match reference-family width-variant checkpoints at port time."""
         if self.width_mult == 1.0:
             return c
-        v = int(c * self.width_mult + 4) // 8 * 8
-        return max(8, v)
+        scaled = c * self.width_mult
+        v = max(8, int(scaled + 4) // 8 * 8)
+        if v < 0.9 * scaled:
+            v += 8
+        return v
 
 
 # ---------------------------------------------------------------------------

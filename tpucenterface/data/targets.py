@@ -17,6 +17,15 @@ def gaussian_radius(height: float, width: float, min_overlap: float = 0.7) -> fl
 
     The three quadratic cases bound corner displacement for (1) both corners
     inside, (2) both outside, (3) one in one out.
+
+    UNVERIFIED-vs-reference (empty mount, see config.py header) — INTENTIONAL
+    DEVIATION: this uses the *corrected* quadratic roots (b - sqrt)/(2a),
+    i.e. the smaller root, which is the geometrically right bound. The
+    original CenterNet/CornerNet code ships (b + sqrt)/2-style roots (a known
+    sign/denominator bug producing oversized radii). Callers match the
+    reference family's convention of passing math.ceil'd box extents. If the
+    real tree materializes and parity-vs-reference training is required,
+    switch these roots to the reference's literal formula.
     """
     a1 = 1.0
     b1 = height + width
@@ -102,7 +111,7 @@ def make_targets(
         ci, cj = int(cx), int(cy)
         if not (0 <= ci < w and 0 <= cj < h):
             continue
-        radius = max(0, int(gaussian_radius(bh, bw)))
+        radius = max(0, int(gaussian_radius(np.ceil(bh), np.ceil(bw))))
         draw_gaussian(hm[..., 0], (ci, cj), radius)
         ind[n] = cj * w + ci
         mask[n] = 1.0

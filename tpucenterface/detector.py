@@ -53,12 +53,21 @@ class Detector:
             from tpucenterface.weights.fold import fold_variables
 
             fuse = config.model.head_conv > 0
+            # s2d stem requires even model-input sizes (all buckets are)
+            s2d = all(b % 2 == 0 for b in config.buckets) and (
+                config.default_size % 2 == 0
+            )
             variables = fold_variables(
-                variables, bn_eps=config.model.bn_eps, fuse_heads=fuse
+                variables,
+                bn_eps=config.model.bn_eps,
+                fuse_heads=fuse,
+                s2d_stem=s2d,
             )
             config = replace(
                 config,
-                model=replace(config.model, folded=True, fused_heads=fuse),
+                model=replace(
+                    config.model, folded=True, fused_heads=fuse, s2d_stem=s2d
+                ),
             )
             self.config = config
         self.model = CenterFaceNet(config.model)

@@ -45,11 +45,14 @@ def nms(dets: np.ndarray, thresh: float = 0.4) -> np.ndarray:
 def flip_detect(detector, img: np.ndarray, **kw) -> Tuple[np.ndarray, np.ndarray]:
     """Detect on the horizontally mirrored image; un-mirror the boxes."""
     w = img.shape[1]
-    boxes, scores = detector.detect(img[:, ::-1], **kw)
+    boxes, scores = detector.detect(img[:, ::-1], **kw)[:2]
     if len(boxes):
         boxes = boxes.copy()
-        x1 = w - boxes[:, 2]
-        x2 = w - boxes[:, 0]
+        # img[:, ::-1] maps pixel index x -> w-1-x, so the un-mirror must use
+        # the same convention (w - x would shift every box 1px; the NMS/eval
+        # code uses +1 pixel-index box extents).
+        x1 = w - 1 - boxes[:, 2]
+        x2 = w - 1 - boxes[:, 0]
         boxes[:, 0], boxes[:, 2] = x1, x2
     return boxes, scores
 

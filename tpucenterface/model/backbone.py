@@ -44,9 +44,28 @@ class MobileNetV2Backbone(nn.Module):
             folded=cfg.folded,
         )
         x = x.astype(dtype)
-        x = ConvBN(cfg.width(cfg.stem_channels), kernel=3, stride=2, name="stem", **kw)(
-            x, train
-        )
+        if cfg.s2d_stem:
+            # 2x space-to-depth + 2x2/s1 conv == the 3x3/s2 stem exactly
+            # (weights remapped by weights.fold.s2d_remap_stem; see
+            # ModelConfig.s2d_stem for the why).
+            b, h, w, c = x.shape
+            x = (
+                x.reshape(b, h // 2, 2, w // 2, 2, c)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(b, h // 2, w // 2, 4 * c)
+            )
+            x = ConvBN(
+                cfg.width(cfg.stem_channels),
+                kernel=2,
+                stride=1,
+                padding=((1, 0), (1, 0)),
+                name="stem",
+                **kw,
+            )(x, train)
+        else:
+            x = ConvBN(
+                cfg.width(cfg.stem_channels), kernel=3, stride=2, name="stem", **kw
+            )(x, train)
         feats: Dict[int, jnp.ndarray] = {}
         plan = backbone_plan(cfg)
         for i, (t, c, s, out_stride) in enumerate(plan):

@@ -42,6 +42,9 @@ class ConvBN(nn.Module):
     bn_momentum: float = 0.9
     dtype: jnp.dtype = jnp.bfloat16
     folded: bool = False
+    # Optional explicit ((top,bottom),(left,right)) padding override; None
+    # keeps the symmetric torch-parity default below.
+    padding: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -53,7 +56,7 @@ class ConvBN(nn.Module):
             features=self.features,
             kernel_size=(self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)),
+            padding=self.padding if self.padding is not None else ((p, p), (p, p)),
             feature_group_count=self.groups,
             use_bias=self.folded,
             dtype=self.dtype,

@@ -41,5 +41,8 @@ def init_model(
         rng = jax.random.PRNGKey(0)
     model = CenterFaceNet(cfg)
     dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
-    variables = model.init(rng, dummy, train=False)
+    # jit the init: unjitted flax init dispatches every layer's op
+    # individually, which costs ~hundreds of device round-trips (measured
+    # ~10 min through the axon relay); one compiled program is seconds.
+    variables = jax.jit(lambda r: model.init(r, dummy, train=False))(rng)
     return model, variables

@@ -18,7 +18,7 @@ from tpucenterface.config import ModelConfig
 class _Head(nn.Module):
     out_ch: int
     hidden: int
-    bias_init_val: float = 0.0
+    bias_init_val: object = 0.0  # float, or per-channel vector (fused heads)
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -33,12 +33,19 @@ class _Head(nn.Module):
                 name="conv",
             )(x)
             x = nn.relu(x)
+        bias_init = (
+            (lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                self.bias_init_val, dtype
+            ).reshape(shape))
+            if hasattr(self.bias_init_val, "__len__")
+            else nn.initializers.constant(self.bias_init_val)
+        )
         x = nn.Conv(
             self.out_ch,
             (1, 1),
             dtype=jnp.float32,
             param_dtype=jnp.float32,
-            bias_init=nn.initializers.constant(self.bias_init_val),
+            bias_init=bias_init,
             name="out",
         )(x.astype(jnp.float32))
         return x
@@ -59,9 +66,15 @@ class CenterNetHeads(nn.Module):
             if cfg.with_landmarks:
                 names.append(("lm", 10))
             total_out = sum(n for _, n in names)
+            # From-scratch init must still carry the heatmap prior bias on the
+            # hm slice (folded-weight loads overwrite this anyway).
+            bias_vec = [cfg.hm_bias_init] * cfg.num_classes + [0.0] * (
+                total_out - cfg.num_classes
+            )
             y = _Head(
                 total_out,
                 cfg.head_conv * len(names),
+                bias_init_val=tuple(bias_vec),
                 dtype=dtype,
                 name="fused",
             )(x)

@@ -29,12 +29,17 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     so = os.path.join(here, "libnms_ext.so")
     try:
         if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            # Build to a per-pid temp path and os.rename() into place: rename
+            # is atomic on one filesystem, so concurrent processes
+            # (pytest-xdist, multi-worker eval) never CDLL a half-written .so.
+            tmp = f"{so}.{os.getpid()}.tmp"
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", src, "-o", so],
+                ["g++", "-O3", "-shared", "-fPIC", src, "-o", tmp],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
+            os.rename(tmp, so)
         lib = ctypes.CDLL(so)
         lib.bbox_overlaps.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,

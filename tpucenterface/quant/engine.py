@@ -5,8 +5,14 @@ One traversal function drives three modes:
 - 'calibrate' : bf16 forward that records per-conv-input absolute maxima
 - 'quant'     : int8 weights (per-output-channel scales, precomputed) x
                 int8 activations (per-layer scales from calibration) on the
-                MXU ops; depthwise stays bf16; requantization fuses into the
-                conv epilogue (int32 -> f32 scale+bias+ReLU6 -> bf16).
+                MXU ops; depthwise stays bf16; requantization is written as
+                a conv epilogue (int32 -> f32 scale+bias+ReLU6 -> bf16), but
+                MEASURED REALITY (PERFORMANCE.md #4): XLA does NOT fuse the
+                q/dq elementwise chains into the int8 convolution, so this
+                engine adds HBM passes and loses end-to-end on the
+                traffic-bound model (18.6 vs 13.4 ms). A truly fused requant
+                (int8 stores from a producer epilogue) is the Pallas path in
+                ops/ — this XLA engine remains the accuracy/parity oracle.
 
 Scale conventions: symmetric, x_q = clip(round(x / s), -127, 127).
 """

@@ -99,16 +99,20 @@ def train(
     jitted, state = shard_train_step(step_fn, mesh, state)
 
     total_steps = max_steps or steps_per_epoch * train_cfg.epochs
-    start_step = int(state.step)
+    # Host-side step counter: fetching `int(state.step)` every iteration
+    # would force a device sync per step and defeat the async dispatch
+    # pipeline prefetch_to_device sets up. Metrics (device values) are only
+    # materialized at log_every/ckpt boundaries.
+    start_step = step = int(state.step)
     batches = batch_iterator(records, train_cfg, seed=seed, wh_log=wh_log)
     t0 = time.perf_counter()
     for batch in prefetch_to_device(batches, size=2, sharding=batch_sharding(mesh)):
-        if int(state.step) >= total_steps:
+        if step >= total_steps:
             break
         state, metrics = jitted(state, batch)
-        step = int(state.step)
+        step += 1
         if log_fn is not None and step % log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
+            m = {k: float(v) for k, v in metrics.items()}  # device fetch here
             m["imgs_per_sec"] = (
                 (step - start_step)
                 * train_cfg.batch_size

@@ -48,8 +48,32 @@ def fuse_head_params(heads: Dict[str, Any], names) -> Dict[str, Any]:
     }
 
 
+def s2d_remap_stem(kernel: np.ndarray) -> np.ndarray:
+    """Remap a 3x3/stride-2 stem kernel (3,3,C,O) to the equivalent
+    2x2/stride-1 kernel (2,2,4C,O) on the 2x-space-to-depth input.
+
+    The original conv (pad 1, stride 2) computes
+        out[i,j] = sum_{ky,kx} W[ky,kx] * x[2i+ky-1, 2j+kx-1];
+    with x_s2d[r,s,(dy,dx,c)] = x[2r+dy, 2s+dx, c] every original tap lands on
+        ky=0 -> (u=0, dy=1), ky=1 -> (u=1, dy=0), ky=2 -> (u=1, dy=1)
+    of a 2x2 conv with pad ((1,0),(1,0)); the (u=0, dy=0) slot is zero.
+    """
+    kh, kw_, c, o = kernel.shape
+    assert (kh, kw_) == (3, 3), "s2d stem remap expects a 3x3 kernel"
+    out = np.zeros((2, 2, 4 * c, o), np.asarray(kernel).dtype)
+    for ky in range(3):
+        uy, dy = (0, 1) if ky == 0 else (1, ky - 1)
+        for kx in range(3):
+            ux, dx = (0, 1) if kx == 0 else (1, kx - 1)
+            out[uy, ux, (dy * 2 + dx) * c : (dy * 2 + dx + 1) * c] = kernel[ky, kx]
+    return out
+
+
 def fold_variables(
-    variables: Dict[str, Any], bn_eps: float = 1e-5, fuse_heads: bool = False
+    variables: Dict[str, Any],
+    bn_eps: float = 1e-5,
+    fuse_heads: bool = False,
+    s2d_stem: bool = False,
 ) -> Dict[str, Any]:
     """Fold every {conv, bn} sibling pair into a biased conv; drop batch_stats.
 
@@ -87,4 +111,15 @@ def fold_variables(
         names = [n for n in ("hm", "wh", "off", "lm") if n in out["heads"]]
         out = dict(out)
         out["heads"] = {"fused": fuse_head_params(out["heads"], names)}
+    if s2d_stem:
+        out = dict(out)
+        out["backbone"] = dict(out["backbone"])
+        stem = dict(out["backbone"]["stem"])
+        stem["conv"] = {
+            "kernel": jnp.asarray(
+                s2d_remap_stem(np.asarray(stem["conv"]["kernel"])), jnp.float32
+            ),
+            "bias": stem["conv"]["bias"],
+        }
+        out["backbone"]["stem"] = stem
     return {"params": out}
