@@ -103,3 +103,40 @@ def test_boxes_to_original_clips():
         jnp.asarray([100, 200], jnp.int32),
     )
     np.testing.assert_allclose(np.asarray(back), [0, 0, 200, 100])
+
+
+def test_topk_2stage_matches_lax_topk():
+    """Exact values + indices vs lax.top_k on tie-free data, several shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpucenterface.decode.reference import topk_2stage
+
+    rng = np.random.RandomState(7)
+    for b, n, k in [(3, 25600, 200), (2, 6400, 100), (1, 1024, 64), (2, 100, 20)]:
+        x = jnp.asarray(rng.rand(b, n).astype(np.float32))
+        v1, i1 = jax.jit(lambda x: jax.lax.top_k(x, k))(x)
+        v2, i2 = jax.jit(lambda x: topk_2stage(x, k))(x)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_topk_2stage_sparse_peaks():
+    """Post-NMS-like sparse maps (mostly zeros) keep exact behavior."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpucenterface.decode.reference import topk_2stage
+
+    rng = np.random.RandomState(8)
+    x = np.zeros((2, 25600), np.float32)
+    for bi in range(2):
+        pos = rng.choice(25600, 300, replace=False)
+        x[bi, pos] = rng.rand(300)
+    xj = jnp.asarray(x)
+    v1, i1 = jax.jit(lambda x: jax.lax.top_k(x, 200))(xj)
+    v2, i2 = jax.jit(lambda x: topk_2stage(x, 200))(xj)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    # zero-valued tail may tie-order differently; compare nonzero prefix idx
+    nz = np.asarray(v1) > 0
+    np.testing.assert_array_equal(np.asarray(i1)[nz], np.asarray(i2)[nz])

@@ -73,11 +73,19 @@ def test_s2d_stem_matches_3x3_stem_exactly():
         )
 
 
-def test_detector_enables_s2d_stem():
+def test_detector_s2d_stem_opt_in():
+    """s2d_stem is an explicit opt-in (measured slower on v5e, see
+    PERFORMANCE.md); when requested, the Detector remaps the stem weights."""
     det = Detector(
         variables=_randomized_variables(),
-        config=DetectorConfig(model=CFG, default_size=64),
+        config=DetectorConfig(model=replace(CFG, s2d_stem=True), default_size=64),
     )
     assert det.config.model.s2d_stem
     k = np.asarray(det.variables["params"]["backbone"]["stem"]["conv"]["kernel"])
     assert k.shape[:2] == (2, 2) and k.shape[2] == 12
+    # default stays off
+    det2 = Detector(
+        variables=_randomized_variables(),
+        config=DetectorConfig(model=CFG, default_size=64),
+    )
+    assert not det2.config.model.s2d_stem

@@ -60,10 +60,28 @@ def profile(batch: int = 32, size: int = 640, k_pair=(2, 8), only: str = "") -> 
     # --- stem -------------------------------------------------------------
     s = size // 2
     x_in = jnp.asarray(rng.rand(batch, size, size, 3), dtype)
-    stem = ConvBN(mcfg.width(mcfg.stem_channels), kernel=3, stride=2, **kw)
     stem_p = {"params": params["backbone"]["stem"]}
-    tm("stem  @%d->%dx%d" % (size, s, mcfg.width(mcfg.stem_channels)),
-       lambda x: stem.apply(stem_p, x, False), x_in)
+    if mcfg.s2d_stem:
+        stem = ConvBN(
+            mcfg.width(mcfg.stem_channels),
+            kernel=2, stride=1, padding=((1, 0), (1, 0)), **kw,
+        )
+
+        def stem_fn(x):
+            b, h, w, c = x.shape
+            xs = (
+                x.reshape(b, h // 2, 2, w // 2, 2, c)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(b, h // 2, w // 2, 4 * c)
+            )
+            return stem.apply(stem_p, xs, False)
+
+        tm("stem(s2d) @%d->%dx%d" % (size, s, mcfg.width(mcfg.stem_channels)),
+           stem_fn, x_in)
+    else:
+        stem = ConvBN(mcfg.width(mcfg.stem_channels), kernel=3, stride=2, **kw)
+        tm("stem  @%d->%dx%d" % (size, s, mcfg.width(mcfg.stem_channels)),
+           lambda x: stem.apply(stem_p, x, False), x_in)
 
     # --- every backbone block in isolation --------------------------------
     plan = backbone_plan(mcfg)

@@ -106,11 +106,16 @@ class DecodeConfig:
     # if False, raw wh at feature-map scale (canonical CenterNet ctdet).
     wh_log: bool = False
     # Fused Pallas decode kernel vs. the jnp decode. Default False: measured
-    # on v5e, XLA's decode (channel-free maxpool + hardware top_k) runs in
-    # ~0.03ms/batch32 while the hand kernel's sequential top-K loop costs
-    # ~5ms — the kernel remains available for study/fallback (see
-    # decode/pallas_decode.py) and is property-tested against the golden.
+    # on v5e, XLA's decode (channel-free maxpool + hardware top_k) runs
+    # faster than the hand kernel's sequential top-K loop (~5ms) — the kernel
+    # remains available for study/fallback (see decode/pallas_decode.py) and
+    # is property-tested against the golden.
     use_pallas: bool = False
+    # Two-stage exact-by-value top-k (decode.reference.topk_2stage): measured
+    # 0.79ms -> ~0.25ms at bs32 @640 K=200 on v5e. Identical values/indices
+    # to lax.top_k except the ORDER of exactly-tied scores; set False for
+    # bit-exact lax.top_k tie order.
+    fast_topk: bool = True
 
 
 # ---------------------------------------------------------------------------

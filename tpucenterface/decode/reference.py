@@ -57,6 +57,38 @@ def decode_feats(
     return boxes, scores
 
 
+def topk_2stage(
+    flat: jnp.ndarray, k: int, chunk: int = 8
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact-by-value two-stage top-k over (B, N).
+
+    lax.top_k at (bs32, N=25600, K=200) measures 0.79ms on v5e — 5% of the
+    whole detect program; this runs 0.17ms (chunk=8), decode 0.95 -> 0.42ms.
+    Stage 1 takes per-chunk maxima (N/chunk values),
+    stage 2 top-k's the chunks, stage 3 gathers the K winning chunks' cells
+    (K*chunk candidates) and top-k's those. Any cell strictly greater than
+    the true k-th value lives in one of at most k-1 chunks, so the k winning
+    chunks contain every such cell: values returned are EXACTLY lax.top_k's.
+
+    Only the ORDER among cells whose scores are exactly equal can differ from
+    lax.top_k's lowest-index-first rule (chunk rank, not flat index, breaks
+    ties here). Real score maps are tie-free apart from plateaus of identical
+    logits; the maxpool pseudo-NMS semantics don't depend on this order.
+    """
+    b, n = flat.shape
+    if n % chunk or n // chunk <= k:
+        return jax.lax.top_k(flat, k)
+    m = n // chunk
+    chunks = flat.reshape(b, m, chunk)
+    cmax = chunks.max(axis=-1)                     # (B, M)
+    _, cidx = jax.lax.top_k(cmax, k)               # (B, K) winning chunks
+    cand = jnp.take_along_axis(chunks, cidx[..., None], axis=1)  # (B, K, chunk)
+    cand_idx = cidx[..., None] * chunk + jnp.arange(chunk)[None, None, :]
+    vals, pos = jax.lax.top_k(cand.reshape(b, k * chunk), k)
+    idx = jnp.take_along_axis(cand_idx.reshape(b, k * chunk), pos, axis=1)
+    return vals, idx
+
+
 def decode_feats_with_idx(
     feats: Dict[str, jnp.ndarray],
     cfg: DecodeConfig,
@@ -70,7 +102,10 @@ def decode_feats_with_idx(
     scores = jax.nn.sigmoid(hm[..., 0])          # (B, H, W) single face class
     peaks = pseudo_nms(scores)
     flat = peaks.reshape(b, h * w)
-    top_scores, top_idx = jax.lax.top_k(flat, k)  # (B, K)
+    if cfg.fast_topk:
+        top_scores, top_idx = topk_2stage(flat, k)
+    else:
+        top_scores, top_idx = jax.lax.top_k(flat, k)  # (B, K)
 
     ys = (top_idx // w).astype(jnp.float32)
     xs = (top_idx % w).astype(jnp.float32)

@@ -53,10 +53,14 @@ class Detector:
             from tpucenterface.weights.fold import fold_variables
 
             fuse = config.model.head_conv > 0
-            # s2d stem requires even model-input sizes (all buckets are)
-            s2d = all(b % 2 == 0 for b in config.buckets) and (
-                config.default_size % 2 == 0
-            )
+            # s2d stem: measured SLOWER on v5e at bs32@640 (3.5ms vs 1.35ms:
+            # XLA fuses the s2d transpose into the conv as a pathological
+            # gather; split they cost 0.12+1.01ms, still no win because the
+            # stem's N=32 output channels cap the MXU at 25%). Kept as a
+            # tested, default-off option; see PERFORMANCE.md.
+            s2d = config.model.s2d_stem and all(
+                b % 2 == 0 for b in config.buckets
+            ) and (config.default_size % 2 == 0)
             variables = fold_variables(
                 variables,
                 bn_eps=config.model.bn_eps,
