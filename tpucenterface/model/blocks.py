@@ -14,12 +14,61 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 
 def _act(relu6: bool) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return (lambda x: jnp.minimum(jnp.maximum(x, 0.0), 6.0)) if relu6 else nn.relu
+
+
+class MatmulConv1x1(nn.Module):
+    """1x1 convolution lowered as reshape -> dot_general -> reshape.
+
+    Param-compatible with nn.Conv (kernel (1,1,Cin,Cout), optional bias).
+    Hypothesis: avoid XLA:TPU's conv emitters, which at small batch pick
+    batch-in-lanes layouts ("EmitOutputBatchInLanes") filling only B/128 of
+    the vector lanes (profiled at bs32 @640: block_0's 32->16 projection
+    costs 2.37ms as a conv, 10x its HBM floor).
+
+    MEASURED REFUTED end-to-end (13.0 -> 32.2ms forward): XLA's layout
+    assignment keeps conv-friendly batch-minor layouts between ops, so each
+    reshape inserts a full relayout copy that costs more than the emitter
+    waste it avoids. Default-off ledger entry (ConvBN.as_matmul); see
+    PERFORMANCE.md round-2 findings.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    bias_init: Callable = None  # type: ignore[assignment]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, cin, self.features),
+            self.param_dtype,
+        )
+        b, h, w, _ = x.shape
+        y = jax.lax.dot_general(
+            x.reshape(b * h * w, cin).astype(self.dtype),
+            kernel[0, 0].astype(self.dtype),
+            (((1,), (0,)), ((), ())),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                self.bias_init or nn.initializers.zeros_init(),
+                (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias.astype(self.dtype)
+        return y.reshape(b, h, w, self.features)
 
 
 class ConvBN(nn.Module):
@@ -45,6 +94,9 @@ class ConvBN(nn.Module):
     # Optional explicit ((top,bottom),(left,right)) padding override; None
     # keeps the symmetric torch-parity default below.
     padding: object = None
+    # Lower 1x1 convs as reshape+matmul instead of convolution. Measured
+    # SLOWER end-to-end (relayout copies dominate); default off.
+    as_matmul: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -52,17 +104,32 @@ class ConvBN(nn.Module):
         # torch.nn.Conv2d(padding=(k-1)//2). flax 'SAME' pads (0,1) for
         # stride-2 even inputs, which would misalign ported torch weights.
         p = (self.kernel - 1) // 2
-        x = nn.Conv(
-            features=self.features,
-            kernel_size=(self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=self.padding if self.padding is not None else ((p, p), (p, p)),
-            feature_group_count=self.groups,
-            use_bias=self.folded,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        if self.as_matmul and self.kernel == 1 and self.stride == 1 and self.groups == 1:
+            # 1x1 convs lowered as matmuls. MEASURED SLOWER end-to-end
+            # (13.0 -> 32.2ms forward at bs32@640): each reshape forces a
+            # relayout copy between XLA's batch-in-lanes conv layouts and the
+            # matmul's row-major layout, costing more than the conv saved.
+            # Kept as a measured-off option (see MatmulConv1x1 docstring).
+            x = MatmulConv1x1(
+                features=self.features,
+                use_bias=self.folded,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=(self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=self.padding
+                if self.padding is not None
+                else ((p, p), (p, p)),
+                feature_group_count=self.groups,
+                use_bias=self.folded,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         if self.folded:
             if self.act:
                 x = _act(self.relu6)(x)

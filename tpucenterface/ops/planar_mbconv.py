@@ -250,6 +250,135 @@ def planar_mbconv(
     return out_f32.astype(x.dtype)
 
 
+def _chain_kernel(*refs, specs, H, Wp, relu6):
+    """N stride-1 inverted-residual blocks on one VMEM-resident image.
+
+    refs: x_ref, then 6 refs per block (w1,b1,wd,bd,w2,b2; dummies when the
+    block has no expand), then colmask_ref, then o_ref.
+    Whole-image compute (no banding): only used at resolutions where the
+    largest expanded activation fits VMEM comfortably (<= ~88x88 rows).
+    """
+    f32 = jnp.float32
+    bf = jnp.bfloat16
+    HWp = H * Wp
+    P = _halo(Wp)
+    x_ref = refs[0]
+    colmask_ref = refs[-2]
+    o_ref = refs[-1]
+
+    def act(v):
+        v = jnp.maximum(v, 0.0)
+        return jnp.minimum(v, 6.0) if relu6 else v
+
+    v = x_ref[0]
+    for i, (has_expand, has_skip) in enumerate(specs):
+        w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref = refs[1 + 6 * i : 7 + 6 * i]
+        if has_expand:
+            e = jax.lax.dot_general(
+                w1_ref[:], v, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            e = (act(e + b1_ref[:]) * colmask_ref[:]).astype(bf)
+        else:
+            e = (v.astype(f32) * colmask_ref[:]).astype(bf)
+        e = jnp.pad(e, ((0, 0), (P, P)))
+        Ec = e.shape[0]
+        acc = jnp.zeros((Ec, HWp), f32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                s0 = P + dy * Wp + dx
+                t = (dy + 1) * 3 + (dx + 1)
+                acc = acc + e[:, s0 : s0 + HWp].astype(f32) * wd_ref[:, t : t + 1]
+        d = act(acc + bd_ref[:]).astype(bf)
+        p = jax.lax.dot_general(
+            w2_ref[:], d, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+        p = p + b2_ref[:]
+        if has_skip:
+            p = p + v.astype(f32)
+        v = p.astype(bf)
+    o_ref[0] = v
+
+
+def planar_mbconv_chain(
+    x: jnp.ndarray,
+    blocks,
+    *,
+    H: int,
+    W: int,
+    relu6: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run N consecutive stride-1 inverted-residual blocks as ONE Pallas call.
+
+    Motivation (measured): at bs32 the late backbone (40^2/20^2, 11 blocks =
+    ~66 XLA ops of tiny work each) is dominated by per-op fixed cost — the
+    bs32 program carries ~7ms of batch-size-independent overhead. Collapsing
+    a segment into one kernel removes the per-op cost; Mosaic's lane-shift
+    depthwise inefficiency doesn't matter at these sizes because the
+    arithmetic is negligible.
+
+    x: (B, C0, H*Wp) planar; blocks: sequence of dicts with HWIO weights
+    {w1 (1,1,C,E) or None, b1, wd (3,3,1,E), bd, w2 (1,1,E,Co), b2,
+    skip: bool}. Returns (B, C_last, H*Wp) bf16.
+    """
+    b, c0, hwp = x.shape
+    wp = padded_width(H, W)
+    assert hwp == H * wp, (hwp, H, W, wp)
+    bf = jnp.bfloat16
+    f32 = jnp.float32
+
+    args, in_specs, specs = [x], [
+        pl.BlockSpec((1, c0, hwp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ], []
+    vm = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    c = c0
+    for blk in blocks:
+        e = blk["wd"].shape[-1]
+        cout = blk["w2"].shape[-1]
+        has_expand = blk["w1"] is not None
+        if not has_expand:
+            assert e == c, (e, c)
+        # VMEM sanity: expanded + f32 accumulator for this block
+        assert e * hwp * 6 < 48 * 1024 * 1024, (e, hwp)
+        specs.append((has_expand, bool(blk["skip"])))
+        if has_expand:
+            args += [
+                blk["w1"].reshape(c, e).T.astype(bf),
+                blk["b1"].reshape(e, 1).astype(f32),
+            ]
+        else:
+            args += [jnp.zeros((1, 1), bf), jnp.zeros((1, 1), f32)]
+        args += [
+            blk["wd"].reshape(9, e).T.astype(f32),
+            blk["bd"].reshape(e, 1).astype(f32),
+            blk["w2"].reshape(e, cout).T.astype(bf),
+            blk["b2"].reshape(cout, 1).astype(f32),
+        ]
+        in_specs += [vm()] * 6
+        c = cout
+    col = jnp.arange(hwp, dtype=jnp.int32) % wp
+    args.append((col < W).astype(f32).reshape(1, hwp))
+    in_specs.append(vm())
+
+    kernel = functools.partial(
+        _chain_kernel, specs=specs, H=H, Wp=wp, relu6=relu6
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, c, hwp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c, hwp), bf),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*args)
+
+
 def planar_from_nhwc(x: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, C) -> row-padded planar (B, C, H*Wp). One XLA pass
     (transpose+pad fuse); pad columns are zero-filled."""
