@@ -28,7 +28,7 @@ def test_port_weights_cli_roundtrip(tmp_path):
         out, config=DetectorConfig(model=cfg, default_size=64)
     )
     img = np.random.RandomState(0).randint(0, 255, (64, 64, 3), np.uint8)
-    boxes, scores = det.detect(img, score_thresh=0.0)
+    boxes, scores = det.detect(img, score_thresh=0.0)[:2]
     assert len(boxes) and np.isfinite(scores).all()
 
     # ported detector must match the torch twin's heatmap on the same input

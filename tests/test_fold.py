@@ -50,8 +50,8 @@ def test_detector_autofolds_and_detects():
     det_u = Detector(variables=variables, config=cfg, fold_bn=False)
     assert det_f.config.model.folded and not det_u.config.model.folded
     img = np.random.RandomState(1).randint(0, 255, (64, 64, 3), np.uint8)
-    bf, sf = det_f.detect(img, score_thresh=0.0)
-    bu, su = det_u.detect(img, score_thresh=0.0)
+    bf, sf = det_f.detect(img, score_thresh=0.0)[:2]
+    bu, su = det_u.detect(img, score_thresh=0.0)[:2]
     np.testing.assert_allclose(sf, su, atol=1e-4)
     np.testing.assert_allclose(bf, bu, atol=5e-3)
 

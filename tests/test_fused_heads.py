@@ -47,7 +47,7 @@ def test_detector_uses_fused_heads():
     assert det.config.model.fused_heads
     assert "fused" in det.variables["params"]["heads"]
     img = np.zeros((64, 64, 3), np.uint8)
-    boxes, scores = det.detect(img, score_thresh=0.0)
+    boxes, scores = det.detect(img, score_thresh=0.0)[:2]
     assert np.isfinite(scores).all()
 
 

@@ -102,7 +102,7 @@ def test_train_detect_eval_loop(tmp_path):
         img, boxes = _synth_image(np.random.RandomState(1000 + i))
         gt = boxes.copy()
         gt[:, 2:4] += gt[:, 0:2]
-        b, s = det.detect(img, score_thresh=0.05)
+        b, s = det.detect(img, score_thresh=0.05)[:2]
         dets.append(
             np.concatenate([b.reshape(-1, 4), s.reshape(-1, 1)], axis=1)
         )

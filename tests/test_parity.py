@@ -8,6 +8,7 @@ empty mount — the *machinery* is the deliverable, and it will work unchanged
 on real reference checkpoints.
 """
 
+import jax
 import numpy as np
 import pytest
 import torch
@@ -99,3 +100,83 @@ def test_safetensors_roundtrip(tmp_path, twin_and_flax):
     assert set(fa) == set(fb)
     for k in fa:
         np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]), err_msg=k)
+
+
+def _foreign_renamed_state(cfg):
+    """A synthetic 'reference-style' checkpoint: torchvision-ish names
+    (features.N.M.weight), extra num_batches_tracked buffers, and a
+    'module.'-free layout — same tensors as the twin, different names."""
+    import torch
+
+    from tpucenterface.weights.torch_twin import TorchCenterFace
+
+    torch.manual_seed(11)
+    twin = TorchCenterFace(cfg).eval()
+    with torch.no_grad():
+        for m in twin.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    sd = twin.state_dict()
+    foreign = {}
+    for i, (k, v) in enumerate(sd.items()):
+        leaf = k.rsplit(".", 1)[-1]
+        foreign[f"features.{i // 4}.{i % 4}.{leaf}"] = v.clone()
+        if leaf == "running_var":
+            foreign[f"features.{i // 4}.{i % 4}.num_batches_tracked"] = (
+                torch.tensor(42, dtype=torch.long)
+            )
+    return twin, foreign
+
+
+def test_foreign_checkpoint_auto_map_ports_to_parity():
+    """VERDICT r1 #4: an arbitrary .pth with renamed modules ports through
+    the shape/order auto-mapper to exact parity with the direct twin port."""
+    from tpucenterface.weights.port import (
+        flax_from_foreign_state,
+        flax_from_torch_module,
+        propose_name_map,
+    )
+
+    cfg = ModelConfig(compute_dtype="float32")
+    twin, foreign = _foreign_renamed_state(cfg)
+    prop = propose_name_map(foreign, cfg)
+    assert prop["complete"], (prop["unmatched_twin"][:5], prop["unmatched_foreign"][:5])
+    assert not prop["unmatched_foreign"]
+
+    v_direct = flax_from_torch_module(twin, cfg)
+    v_foreign = flax_from_foreign_state(foreign, cfg)
+    flat_a = jax.tree.leaves(v_direct)
+    flat_b = jax.tree.leaves(v_foreign)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_foreign_checkpoint_declarative_name_map():
+    """Explicit (regex, replacement) rules: drop bookkeeping buffers and
+    rewrite a prefix; incomplete maps must fail loudly."""
+    import pytest
+
+    from tpucenterface.weights.port import apply_name_map, flax_from_foreign_state
+
+    cfg = ModelConfig(compute_dtype="float32")
+    twin, _ = _foreign_renamed_state(cfg)
+    sd = {f"base_net.{k}": v for k, v in twin.state_dict().items()}
+    sd["base_net.extra.num_batches_tracked"] = np.int64(7)
+
+    name_map = [
+        (r"num_batches_tracked", None),      # drop
+        (r"^base_net\.", ""),                # strip prefix
+    ]
+    v = flax_from_foreign_state(sd, cfg, name_map=name_map)
+    ref = flax_from_foreign_state(
+        apply_name_map(sd, name_map), cfg, name_map=[]
+    )
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a truncated foreign checkpoint must be rejected with a report
+    bad = dict(list(sd.items())[:-6])
+    with pytest.raises((ValueError, KeyError)):
+        flax_from_foreign_state(bad, cfg, name_map=name_map)

@@ -120,7 +120,7 @@ def test_train_loop_end_to_end(tiny_dataset, tmp_path):
         str(tmp_path / "run/model.safetensors"),
         config=DetectorConfig(model=mcfg, default_size=64),
     )
-    boxes, scores = det.detect(np.zeros((64, 64, 3), np.uint8), score_thresh=0.0)
+    boxes, scores = det.detect(np.zeros((64, 64, 3), np.uint8), score_thresh=0.0)[:2]
     assert boxes.shape[1] == 4
 
 

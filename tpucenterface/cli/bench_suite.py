@@ -23,16 +23,36 @@ def _barrier(x):
 
 
 def config1_single_320(det) -> dict:
-    """Single 320x320 image forward + decode latency (parity config)."""
+    """Single 320x320 image forward + decode latency (parity config).
+
+    Reports BOTH the wall latency (through whatever link carries the arrays —
+    under the axon relay that is ~2 RTTs of tunnel time) and the device-true
+    per-call time from the slope method (bench.timing.op_time_ms), so future
+    rounds can regression-test the program itself (VERDICT r1 #5)."""
+    import jax.numpy as jnp
+
+    from tpucenterface.bench.timing import op_time_ms
+
     img = np.random.RandomState(0).randint(0, 255, (320, 320, 3), np.uint8)
     det.detect(img, size=320)  # compile
     n = 20
-    t0 = time.perf_counter()
+    lats = []
     for _ in range(n):
-        boxes, scores = det.detect(img, size=320)
-    dt = (time.perf_counter() - t0) / n
-    return {"metric": "p50 latency single 320x320", "value": round(dt * 1e3, 2),
-            "unit": "ms"}
+        t0 = time.perf_counter()
+        boxes, scores = det.detect(img, size=320)[:2]
+        lats.append(time.perf_counter() - t0)
+    wall_p50 = float(np.median(lats)) * 1e3
+
+    fn = det._single_fn(img.shape[:2], 320)
+    imgs_f = jnp.asarray(np.random.RandomState(1).rand(320, 320, 3) * 255,
+                         jnp.float32)
+    hw = jnp.array([320, 320], jnp.int32)
+    device_ms = op_time_ms(
+        lambda x: fn(x.astype(jnp.uint8), hw), imgs_f, k_pair=(4, 16)
+    )
+    return {"metric": "p50 latency single 320x320", "value": round(wall_p50, 2),
+            "unit": "ms", "tunnel_ms": round(wall_p50, 2),
+            "device_ms": round(device_ms, 3)}
 
 
 def config2_batch640(det, batch=32) -> dict:
@@ -54,22 +74,43 @@ def config2_batch640(det, batch=32) -> dict:
             "unit": "img/s", "vs_baseline": round(ips / 5000.0, 4)}
 
 
-def config3_tta(det, wider_root=None, n_imgs=20) -> dict:
-    """Flip + multi-scale TTA over variable-shape images (padded buckets)."""
+def config3_tta(det, wider_root=None, n_imgs=48) -> dict:
+    """Flip + multi-scale TTA over variable-shape images (padded buckets).
+
+    Reports the TPU-shaped batched path (eval.batch_runner.batched_detect_tta:
+    bucketed batches + device-side flip inside one jitted program) and its
+    speedup over the legacy per-image detect_tta dispatch (VERDICT r1 #2:
+    done = >=5x)."""
+    from tpucenterface.eval.batch_runner import batched_detect_tta
     from tpucenterface.eval.tta import detect_tta
 
     rng = np.random.RandomState(0)
     shapes = [(480, 640), (720, 1280), (333, 500), (1024, 768)]
     imgs = [rng.randint(0, 255, s + (3,), np.uint8) for s in
             (shapes * ((n_imgs // len(shapes)) + 1))[:n_imgs]]
-    for img in imgs[: len(shapes)]:  # compile every (bucket, scale) signature
-        detect_tta(det, img, scales=(0.5, 1.0), flip=True)
+    scales = (0.5, 1.0)
+
+    # batched path (compile by running once, then time)
+    batched_detect_tta(det, imgs[: len(shapes)], scales=scales, flip=True)
     t0 = time.perf_counter()
-    for img in imgs:
-        detect_tta(det, img, scales=(0.5, 1.0), flip=True)
-    dt = time.perf_counter() - t0
-    return {"metric": "TTA eval throughput (flip + 2 scales, bucketed)",
-            "value": round(n_imgs / dt, 2), "unit": "img/s"}
+    batched_detect_tta(det, imgs, scales=scales, flip=True)
+    dt_b = time.perf_counter() - t0
+
+    # legacy per-image path on a subset (it is the slow one)
+    n_ref = min(8, n_imgs)
+    for img in imgs[: len(shapes)]:
+        detect_tta(det, img, scales=scales, flip=True)
+    t0 = time.perf_counter()
+    for img in imgs[:n_ref]:
+        detect_tta(det, img, scales=scales, flip=True)
+    dt_p = time.perf_counter() - t0
+
+    batched_ips = n_imgs / dt_b
+    per_image_ips = n_ref / dt_p
+    return {"metric": "TTA eval throughput (flip + 2 scales, bucketed batches)",
+            "value": round(batched_ips, 2), "unit": "img/s",
+            "per_image_ips": round(per_image_ips, 2),
+            "speedup_vs_per_image": round(batched_ips / per_image_ips, 2)}
 
 
 def config4_video(det, n_frames=60) -> dict:
@@ -85,8 +126,29 @@ def config4_video(det, n_frames=60) -> dict:
     for _ in pipe.run(frames()):
         pass
     lat = float(np.median(pipe.steady_latencies_ms[5:]))
+
+    # device-true per-frame compute (slope method): the wall fps above is
+    # dominated by shipping 2.7MB/frame through the relay (VERDICT r1 #5);
+    # this is the number a production host would see per frame of compute.
+    import jax.numpy as jnp
+
+    from tpucenterface.bench.timing import op_time_ms
+    from tpucenterface.preprocess import pad_to_bucket
+
+    frame = rng.randint(0, 255, (720, 1280, 3), np.uint8)
+    padded = pad_to_bucket(frame)
+    fn = det._single_fn(padded.shape[:2], 640)
+    hw = jnp.array([720, 1280], jnp.int32)
+    dev_f = jnp.asarray(np.random.RandomState(2).rand(*padded.shape) * 255,
+                        jnp.float32)
+    device_ms = op_time_ms(
+        lambda x: fn(x.astype(jnp.uint8), hw), dev_f, k_pair=(4, 16)
+    )
     return {"metric": "720p stream steady-state", "value": round(pipe.last_fps, 1),
-            "unit": "fps", "p50_latency_ms": round(lat, 1)}
+            "unit": "fps", "p50_latency_ms": round(lat, 1),
+            "tunnel_latency_ms": round(lat, 1),
+            "device_ms_per_frame": round(device_ms, 3),
+            "device_fps_bound": round(1000.0 / max(device_ms, 1e-6), 1)}
 
 
 def config5_dp(det, batch=256) -> dict:

@@ -19,9 +19,14 @@ def main(argv=None):
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--out-dets", default=None,
                    help="also dump WIDER-format detection txts here")
+    p.add_argument("--per-image", action="store_true",
+                   help="legacy per-image dispatch (default: bucketed batches"
+                        " with device-side flip, the TPU-shaped path)")
+    p.add_argument("--batch-size", type=int, default=16)
     args = p.parse_args(argv)
 
     from tpucenterface.detector import Detector
+    from tpucenterface.eval.batch_runner import batched_detect_tta
     from tpucenterface.eval.tta import detect_tta
     from tpucenterface.eval.wider_eval import evaluate_wider
 
@@ -33,12 +38,25 @@ def main(argv=None):
         print("[eval] no --weights: random-init model (AP will be ~0)")
         det = Detector()
 
+    scales = tuple(float(s) for s in args.scales.split(",")) if args.tta else (1.0,)
+
     def det_fn(img):
         if args.tta:
-            scales = tuple(float(s) for s in args.scales.split(","))
             return detect_tta(det, img, scales=scales, flip=True,
                               score_thresh=args.thresh)
-        return det.detect(img, score_thresh=args.thresh)
+        return det.detect(img, score_thresh=args.thresh)[:2]
+
+    def batch_det_fn(imgs):
+        if args.tta:
+            return batched_detect_tta(
+                det, imgs, scales=scales, flip=True,
+                score_thresh=args.thresh, batch_size=args.batch_size,
+            )
+        from tpucenterface.eval.batch_runner import batched_detect
+
+        return batched_detect(
+            det, imgs, score_thresh=args.thresh, batch_size=args.batch_size
+        )
 
     on_det = None
     if args.out_dets:
@@ -48,11 +66,12 @@ def main(argv=None):
             write_wider_detections(args.out_dets, rel, boxes, scores)
 
     aps = evaluate_wider(
-        det_fn,
+        det_fn if args.per_image else None,
         args.gt_dir,
         args.images_root,
         max_images=args.max_images,
         on_detection=on_det,
+        batch_det_fn=None if args.per_image else batch_det_fn,
     )
     print(json.dumps({f"AP_{k}": round(v, 4) for k, v in aps.items()}))
 

@@ -97,7 +97,7 @@ def decode_feats_with_idx(
     needed by the optional landmark gather."""
     hm, wh, off = feats["hm"], feats["wh"], feats["off"]
     b, h, w, _ = hm.shape
-    k = cfg.max_dets
+    k = min(cfg.max_dets, h * w)  # tiny buckets: K can't exceed the map
 
     scores = jax.nn.sigmoid(hm[..., 0])          # (B, H, W) single face class
     peaks = pseudo_nms(scores)

@@ -16,11 +16,23 @@ batched, bucketed, and jit-cached.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+class Detections(NamedTuple):
+    """Typed detect() result (VERDICT r1 #8: no more 2-or-3 tuples).
+
+    Tuple-compatible: `boxes, scores = det.detect(img)[:2]` keeps working;
+    `landmarks` is None for models without the landmark head, else (N, 5, 2).
+    """
+
+    boxes: np.ndarray              # (N, 4) [x1,y1,x2,y2] original-image px
+    scores: np.ndarray             # (N,) float32, descending
+    landmarks: Optional[np.ndarray] = None  # (N, 5, 2) or None
 
 from tpucenterface.config import DetectorConfig
 from tpucenterface.decode.reference import boxes_to_original, decode_feats
@@ -176,6 +188,47 @@ class Detector:
             self._fn_cache[key] = run
         return self._fn_cache[key]
 
+    def _batch_flip_fn(self, batch: int, padded_hw: Tuple[int, int], size: int):
+        """Batched detect computing the image AND its horizontal mirror in ONE
+        jitted program (flip-TTA without a second dispatch): the letterboxed
+        square is mirrored device-side, both halves run through one 2B-batch
+        forward, and the mirror's boxes are un-mirrored before the inverse
+        letterbox. Requires a centered letterbox (pad_x symmetric), which is
+        asserted at build time. Returns (boxes (B, 2K, 4), scores (B, 2K)) —
+        the first K from the image, the second K from its mirror; the caller
+        NMS-merges. SURVEY.md §3.3 hot loop #3 made TPU-shaped.
+        """
+        assert self.config.preprocess.center, "device flip needs centered letterbox"
+        key = ("batch_flip", batch, padded_hw, size)
+        if key not in self._fn_cache:
+
+            @jax.jit
+            def run(imgs_u8: jnp.ndarray, hws: jnp.ndarray):
+                x, scales, pads = letterbox_normalize_batch(
+                    imgs_u8, hws, size, self.config.preprocess
+                )
+                x2 = jnp.concatenate([x, x[:, :, ::-1]], axis=0)
+                feats = self._forward(x2)
+                boxes, scores, _ = self._decode(feats)
+                b_orig, b_mir = boxes[:batch], boxes[batch:]
+                # mirror of the model-input square: pixel x -> (size-1) - x
+                x1 = (size - 1.0) - b_mir[..., 2]
+                x2_ = (size - 1.0) - b_mir[..., 0]
+                b_mir = jnp.stack(
+                    [x1, b_mir[..., 1], x2_, b_mir[..., 3]], axis=-1
+                )
+                all_boxes = jnp.concatenate([b_orig, b_mir], axis=1)  # (B,2K,4)
+                all_scores = jnp.concatenate(
+                    [scores[:batch], scores[batch:]], axis=1
+                )
+                all_boxes = jax.vmap(boxes_to_original)(
+                    all_boxes, scales, pads, hws
+                )
+                return all_boxes, all_scores
+
+            self._fn_cache[key] = run
+        return self._fn_cache[key]
+
     # ------------------------------------------------------------------ #
     # public API
     # ------------------------------------------------------------------ #
@@ -185,11 +238,12 @@ class Detector:
         image: np.ndarray,
         score_thresh: Optional[float] = None,
         size: Optional[int] = None,
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    ) -> Detections:
         """Detect faces in one HxWx3 uint8 (BGR by default) image.
 
-        Returns (boxes[N,4] float32 [x1,y1,x2,y2] in original pixel coords,
-        scores[N] float32), score-descending, filtered at `score_thresh`.
+        Returns a `Detections` (boxes[N,4] float32 [x1,y1,x2,y2] in original
+        pixel coords, scores[N] float32 score-descending, landmarks or None),
+        filtered at `score_thresh`.
         """
         if image.ndim != 3 or image.shape[2] != 3:
             raise ValueError(
@@ -204,9 +258,8 @@ class Detector:
         boxes = np.asarray(out[0])
         scores = np.asarray(out[1])
         keep = scores >= thresh
-        if len(out) == 3:  # landmark-headed model
-            return boxes[keep], scores[keep], np.asarray(out[2])[keep]
-        return boxes[keep], scores[keep]
+        lm = np.asarray(out[2])[keep] if len(out) == 3 else None
+        return Detections(boxes[keep], scores[keep], lm)
 
     def detect_batch(
         self,
@@ -214,10 +267,10 @@ class Detector:
         hws: Optional[np.ndarray] = None,
         score_thresh: Optional[float] = None,
         size: Optional[int] = None,
-    ):
+    ) -> List[Detections]:
         """Batched detect over images of one padded shape (B, Hp, Wp, 3) uint8.
 
-        Returns a list of (boxes, scores) per image, thresholded.
+        Returns a `Detections` per image, thresholded.
         """
         thresh = self.config.decode.score_thresh if score_thresh is None else score_thresh
         size = size or self.config.default_size
@@ -229,13 +282,16 @@ class Detector:
         boxes = np.asarray(res[0])
         scores = np.asarray(res[1])
         lms = np.asarray(res[2]) if len(res) == 3 else None
-        out = []
+        out: List[Detections] = []
         for i in range(b):
             keep = scores[i] >= thresh
-            if lms is not None:
-                out.append((boxes[i][keep], scores[i][keep], lms[i][keep]))
-            else:
-                out.append((boxes[i][keep], scores[i][keep]))
+            out.append(
+                Detections(
+                    boxes[i][keep],
+                    scores[i][keep],
+                    lms[i][keep] if lms is not None else None,
+                )
+            )
         return out
 
     def warmup(self, shapes=((640, 640),), size: Optional[int] = None) -> None:

@@ -24,7 +24,7 @@ def batched_detect(
     size: Optional[int] = None,
     batch_size: int = 16,
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
-    """Detect over a mixed-shape image list; returns per-image (boxes, scores).
+    """Detect over a mixed-shape image list; returns per-image Detections.
 
     One compiled executable per (padded bucket shape, batch_size) pair.
     """
@@ -54,5 +54,95 @@ def batched_detect(
                 batch, hws=hws, score_thresh=thresh, size=size
             )
             for j, i in enumerate(chunk):
-                results[i] = out[j][:2] if len(out[j]) > 2 else out[j]
+                results[i] = out[j]
+    return results
+
+
+def batched_detect_tta(
+    detector,
+    images: Sequence[np.ndarray],
+    scales: Sequence[float] = (1.0,),
+    flip: bool = True,
+    score_thresh: float = 0.01,
+    nms_thresh: float = 0.4,
+    max_dets: Optional[int] = 750,
+    batch_size: int = 16,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """TPU-shaped flip + multi-scale TTA over a mixed-shape image list
+    (VERDICT r1 #4 / SURVEY.md §3.3 hot loop #3).
+
+    Per (scale) each image maps to a model-input bucket; work is grouped by
+    (padded shape, bucket) and dispatched as fixed-size batches. The flip
+    variant runs INSIDE the same jitted program (Detector._batch_flip_fn
+    mirrors the letterboxed square device-side), so flip costs one batched
+    forward, not a second dispatch. Host work is only the final per-image
+    NMS merge. Returns per-image (boxes, scores), score-descending.
+    """
+    import jax.numpy as jnp
+
+    from tpucenterface.eval.tta import nms, pick_bucket
+
+    buckets = detector.config.buckets
+    # group images by padded shape; each chunk uploads ONCE and is reused for
+    # every scale bucket its images need (host->device transfer is the
+    # dominant cost of eval through a relay; per-(image,scale) uploads would
+    # double it for 2-scale TTA)
+    padded = [pad_to_bucket(img) for img in images]
+    sizes_per_img: List[Tuple[int, ...]] = []
+    for img in images:
+        h, w = img.shape[:2]
+        sizes_per_img.append(
+            tuple(pick_bucket(buckets, max(h, w) * s) for s in scales)
+        )
+    groups: Dict[Tuple[int, int], List[int]] = {}
+    for i in range(len(images)):
+        groups.setdefault(padded[i].shape[:2], []).append(i)
+
+    parts: List[List[np.ndarray]] = [[] for _ in images]
+    for shape, idxs in groups.items():
+        for c0 in range(0, len(idxs), batch_size):
+            chunk = idxs[c0 : c0 + batch_size]
+            batch = np.zeros((batch_size,) + shape + (3,), np.uint8)
+            hws = np.ones((batch_size, 2), np.int32)
+            for j, i in enumerate(chunk):
+                batch[j] = padded[i]
+                hws[j] = images[i].shape[:2]
+            dev_batch = jnp.asarray(batch)   # one upload per chunk
+            dev_hws = jnp.asarray(hws)
+            for size in sorted({s for i in chunk for s in sizes_per_img[i]}):
+                if flip:
+                    fn = detector._batch_flip_fn(batch_size, shape, size)
+                else:
+                    fn = detector._batch_fn(batch_size, shape, size)
+                out = fn(dev_batch, dev_hws)
+                boxes = np.asarray(out[0])
+                scores = np.asarray(out[1])
+                for j, i in enumerate(chunk):
+                    # count multiplicity: the same bucket can serve several
+                    # scales of one image (they'd produce identical dets)
+                    mult = sizes_per_img[i].count(size)
+                    if mult == 0:
+                        continue
+                    keep = scores[j] >= score_thresh
+                    if keep.any():
+                        d = np.concatenate(
+                            [boxes[j][keep], scores[j][keep, None]], axis=1
+                        )
+                        parts[i].append(d)
+
+    results: List[Tuple[np.ndarray, np.ndarray]] = []
+    for i in range(len(images)):
+        if not parts[i]:
+            results.append(
+                (np.zeros((0, 4), np.float32), np.zeros(0, np.float32))
+            )
+            continue
+        dets = np.concatenate(parts[i], axis=0)
+        keep = nms(dets, nms_thresh)
+        dets = dets[keep]
+        order = np.argsort(-dets[:, 4], kind="stable")
+        dets = dets[order[:max_dets]] if max_dets else dets[order]
+        results.append(
+            (dets[:, :4].astype(np.float32), dets[:, 4].astype(np.float32))
+        )
     return results

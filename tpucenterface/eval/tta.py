@@ -87,7 +87,7 @@ def detect_tta(
             if flipped:
                 b, sc = flip_detect(detector, img, score_thresh=score_thresh, size=size)
             else:
-                b, sc = detector.detect(img, score_thresh=score_thresh, size=size)
+                b, sc = detector.detect(img, score_thresh=score_thresh, size=size)[:2]
             if len(b):
                 parts.append(np.concatenate([b, sc[:, None]], axis=1))
     if not parts:

@@ -215,9 +215,17 @@ def evaluate_wider(
     subsets: Sequence[str] = ("easy", "medium", "hard"),
     max_images: Optional[int] = None,
     on_detection=None,
+    batch_det_fn=None,
+    batch_chunk: int = 64,
 ) -> Dict[str, float]:
-    """Full WIDER val evaluation: run `det_fn(img_bgr) -> (boxes, scores)` over
-    the val tree and score against the official .mat GT.
+    """Full WIDER val evaluation against the official .mat GT.
+
+    Either `det_fn(img_bgr) -> (boxes, scores)` runs per image, or — the
+    TPU-shaped path (VERDICT r1 #2) — `batch_det_fn(images) -> [(boxes,
+    scores), ...]` runs over chunks of `batch_chunk` loaded images at once
+    (e.g. eval.batch_runner.batched_detect_tta with flip + scales), so the
+    3,226-image val set dispatches as bucketed batches instead of per-image
+    calls.
 
     `on_detection(rel_path, boxes, scores)` is called per image if given
     (e.g. to dump WIDER-format detection txts)."""
@@ -226,26 +234,46 @@ def evaluate_wider(
     gt = load_wider_gt(gt_dir)
     any_set = gt[subsets[0]]
     dets_cache: Dict[str, np.ndarray] = {}
-    n_done = 0
+
+    # collect the evaluation image list (bounded by max_images)
+    rels: List[str] = []
     for ei, event in enumerate(any_set["events"]):
         for fi, fname in enumerate(any_set["files"][ei]):
-            if max_images is not None and n_done >= max_images:
+            if max_images is not None and len(rels) >= max_images:
                 break
-            rel = os.path.join(event, fname + ".jpg")
+            rels.append(os.path.join(event, fname + ".jpg"))
+        if max_images is not None and len(rels) >= max_images:
+            break
+
+    def record(rel, boxes, scores):
+        if on_detection is not None:
+            on_detection(rel, boxes, scores)
+        dets_cache[rel] = np.concatenate(
+            [boxes.reshape(-1, 4), scores.reshape(-1, 1)], axis=1
+        )
+
+    if batch_det_fn is not None:
+        for c0 in range(0, len(rels), batch_chunk):
+            chunk = rels[c0 : c0 + batch_chunk]
+            imgs, oks = [], []
+            for rel in chunk:
+                img = cv2.imread(os.path.join(images_root, rel))
+                if img is None:
+                    dets_cache[rel] = np.zeros((0, 5), np.float64)
+                else:
+                    imgs.append(img)
+                    oks.append(rel)
+            if imgs:
+                for rel, d in zip(oks, batch_det_fn(imgs)):
+                    record(rel, d[0], d[1])
+    else:
+        for rel in rels:
             img = cv2.imread(os.path.join(images_root, rel))
             if img is None:
                 dets_cache[rel] = np.zeros((0, 5), np.float64)
                 continue
             boxes, scores = det_fn(img)
-            if on_detection is not None:
-                on_detection(rel, boxes, scores)
-            dets_cache[rel] = np.concatenate(
-                [boxes.reshape(-1, 4), scores.reshape(-1, 1)], axis=1
-            )
-            n_done += 1
-        else:
-            continue
-        break
+            record(rel, boxes, scores)
 
     results = {}
     for name in subsets:

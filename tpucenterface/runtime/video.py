@@ -51,7 +51,8 @@ class VideoPipeline:
                 fn = det._single_fn(padded.shape[:2], self.size)
             t_submit = time.perf_counter()
             dev_img = jax.device_put(jnp.asarray(padded))
-            boxes, scores = fn(dev_img, jnp.array([h, w], jnp.int32))
+            out = fn(dev_img, jnp.array([h, w], jnp.int32))
+            boxes, scores = out[0], out[1]
             inflight.append((frame, boxes, scores, t_submit))
             if len(inflight) >= self.depth:
                 yield self._drain_one(inflight, thresh)

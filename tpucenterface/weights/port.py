@@ -109,13 +109,140 @@ def torch_state_from_flax(variables: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-def load_torch_pth(path: str, cfg: ModelConfig) -> Dict[str, Any]:
+# --------------------------------------------------------------------------- #
+# Foreign-checkpoint adapters (VERDICT r1 #4)
+# --------------------------------------------------------------------------- #
+
+
+def twin_key_order(cfg: ModelConfig):
+    """The twin naming contract as an ORDERED [(key, shape)] list (torch
+    registration order == network order). This is the matching target for
+    foreign checkpoints."""
+    from tpucenterface.weights.torch_twin import TorchCenterFace
+
+    twin = TorchCenterFace(cfg)
+    # 0-dim entries (num_batches_tracked) are bookkeeping, not weights
+    return [
+        (k, tuple(v.shape))
+        for k, v in twin.state_dict().items()
+        if v.ndim > 0
+    ]
+
+
+def apply_name_map(state_dict: Mapping[str, Any], name_map) -> Dict[str, Any]:
+    """Rename checkpoint keys with a declarative (regex, replacement) table.
+
+    Rules apply in order; the FIRST matching rule wins (re.subn with count
+    semantics of re.sub over the whole key). Keys matching a rule whose
+    replacement is None are dropped (e.g. num_batches_tracked buffers).
+    """
+    import re
+
+    out: Dict[str, Any] = {}
+    for k, v in state_dict.items():
+        nk = k
+        for pat, repl in name_map:
+            if re.search(pat, k):
+                nk = None if repl is None else re.sub(pat, repl, k)
+                break
+        if nk is not None:
+            out[nk] = v
+    return out
+
+
+def propose_name_map(
+    state_dict: Mapping[str, Any], cfg: ModelConfig
+) -> Dict[str, Any]:
+    """Shape/order-based introspection: propose a foreign-key -> twin-key
+    mapping for an arbitrary `.pth` state_dict.
+
+    Both torch state_dicts preserve module registration order, which follows
+    the network's data flow; so after dropping non-tensor bookkeeping entries
+    (num_batches_tracked etc.), a two-pointer walk matching on exact tensor
+    shape aligns the sequences. Returns
+        {'mapping': {foreign: twin}, 'unmatched_foreign': [...],
+         'unmatched_twin': [...], 'complete': bool}
+    so a caller can review what didn't line up before trusting the port.
+    """
+    import numpy as np  # noqa: F811
+
+    expected = twin_key_order(cfg)
+    foreign = []
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        v = np.asarray(v)
+        if v.ndim == 0:  # num_batches_tracked and friends
+            continue
+        foreign.append((k, tuple(v.shape)))
+
+    mapping: Dict[str, str] = {}
+    un_f, un_t = [], []
+    i = j = 0
+    while i < len(foreign) and j < len(expected):
+        fk, fs = foreign[i]
+        tk, ts = expected[j]
+        if fs == ts:
+            mapping[fk] = tk
+            i += 1
+            j += 1
+            continue
+        # try skipping one side (an extra foreign tensor, or a missing one)
+        if i + 1 < len(foreign) and foreign[i + 1][1] == ts:
+            un_f.append(fk)
+            i += 1
+        else:
+            un_t.append(tk)
+            j += 1
+    un_f += [k for k, _ in foreign[i:]]
+    un_t += [k for k, _ in expected[j:]]
+    return {
+        "mapping": mapping,
+        "unmatched_foreign": un_f,
+        "unmatched_twin": un_t,
+        "complete": not un_t,
+    }
+
+
+def flax_from_foreign_state(
+    state_dict: Mapping[str, Any],
+    cfg: ModelConfig,
+    name_map=None,
+) -> Dict[str, Any]:
+    """Port a foreign (non-twin-named) torch state_dict.
+
+    With `name_map` (declarative (regex, replacement) rules) the keys are
+    rewritten to the twin contract; without it, `propose_name_map` aligns by
+    shape/order and raises with a readable report if the alignment is
+    incomplete (silent partial loads are how parity dies)."""
+    if name_map is not None:
+        return flax_from_torch_state(apply_name_map(state_dict, name_map), cfg)
+    prop = propose_name_map(state_dict, cfg)
+    if not prop["complete"]:
+        raise ValueError(
+            "shape/order auto-mapping incomplete:\n"
+            f"  unmatched twin keys:    {prop['unmatched_twin'][:10]}\n"
+            f"  unmatched foreign keys: {prop['unmatched_foreign'][:10]}\n"
+            "Provide an explicit name_map=[(regex, replacement), ...]."
+        )
+    renamed = {
+        prop["mapping"][k]: v
+        for k, v in state_dict.items()
+        if k in prop["mapping"]
+    }
+    return flax_from_torch_state(renamed, cfg)
+
+
+def load_torch_pth(
+    path: str, cfg: ModelConfig, name_map=None, auto_map: bool = False
+) -> Dict[str, Any]:
     """Load a `.pth` checkpoint file and port it.
 
     Handles the reference family's wrappers: a bare state_dict, or a dict with
-    a 'state_dict'/'model' entry (SURVEY.md §2 C10 [K]). NOTE: real reference
-    checkpoints may use different module names than our twin; when the
-    reference tree materializes, extend `_torch_key` with a translation table.
+    a 'state_dict'/'model' entry (SURVEY.md §2 C10 [K]). Checkpoints that use
+    module names other than the twin contract port through `name_map`
+    (declarative regex rules) or `auto_map=True` (shape/order alignment via
+    `propose_name_map` — re-verify against the real tree when it appears).
     """
     import torch
 
@@ -125,4 +252,6 @@ def load_torch_pth(path: str, cfg: ModelConfig) -> Dict[str, Any]:
             if key in ckpt and isinstance(ckpt[key], dict):
                 ckpt = ckpt[key]
                 break
+    if name_map is not None or auto_map:
+        return flax_from_foreign_state(ckpt, cfg, name_map=name_map)
     return flax_from_torch_state(ckpt, cfg)
