@@ -72,6 +72,15 @@ class ModelConfig:
     # (s2d_stem=True) and an even input size; the Detector applies it
     # automatically.
     s2d_stem: bool = False
+    # Inference forward implementation once weights are folded:
+    # 'flax' (default) = the flax modules; 'planar' =
+    # model.planar_engine.PlanarEngine (hand-rolled XLA graph of the same
+    # math). Measured on v5e bs32@640: the engine's bare forward is ~0.4ms
+    # faster (fusion-boundary luck) but the FULL detect program is identical
+    # to the flax path (2113 vs 2115 img/s) — attaching preprocess+decode
+    # re-shuffles XLA's fusion boundaries and the gap vanishes. Kept as an
+    # equal-speed alternative surface for future engine work.
+    inference_engine: str = "flax"
 
     def width(self, c: int) -> int:
         """Apply width multiplier with the full MobileNet `_make_divisible`

@@ -88,6 +88,20 @@ class Detector:
             self.config = config
         self.model = CenterFaceNet(config.model)
         self.variables = variables
+        # Optional PlanarEngine forward (ModelConfig.inference_engine): the
+        # same math as the flax modules in a hand-rolled XLA graph. Measured
+        # e2e-neutral on v5e bs32@640 (see config.py), so 'flax' stays the
+        # default. s2d stems keep the flax path (the engine does not
+        # implement the remapped stem).
+        self._engine = None
+        if (
+            self.config.model.folded
+            and self.config.model.inference_engine == "planar"
+            and not self.config.model.s2d_stem
+        ):
+            from tpucenterface.model.planar_engine import PlanarEngine
+
+            self._engine = PlanarEngine(self.variables, self.config.model)
         self._fn_cache: Dict[Tuple, Any] = {}
 
     # ------------------------------------------------------------------ #
@@ -140,6 +154,8 @@ class Detector:
         return boxes, scores, lm
 
     def _forward(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        if self._engine is not None:
+            return self._engine(x)
         return self.model.apply(self.variables, x, train=False)
 
     def _single_fn(self, padded_hw: Tuple[int, int], size: int):

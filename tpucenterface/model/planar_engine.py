@@ -20,6 +20,21 @@ This engine runs the same folded weights with a fraction of the ops:
 
 Parity: PlanarEngine(folded_variables)(x) == flax CenterFaceNet(folded) within
 bf16 tolerance (tests/test_planar_engine.py).
+
+Round-2 follow-up measurements (bs32 @640, v5e, slope method):
+- the plain-XLA engine (max_chain_res=0, no algebraic fusion) runs the SAME
+  math as the folded flax forward ~0.4ms FASTER in isolation (12.6 vs
+  13.0ms) — fusion-boundary luck — but the FULL detect program measures
+  IDENTICAL to the flax path (2113 vs 2115 img/s): attaching preprocess +
+  decode re-shuffles the fusion boundaries and the gap vanishes. The engine
+  is selectable via ModelConfig.inference_engine ('flax' stays default) and
+  is wired through Detector._forward.
+- BOTH algebraic weight-composition fusions LOSE on v5e and default off:
+  fusing block_0.project into block_1.expand costs +0.74ms (the single
+  32->96 conv emitter is slower than 32->16 + 16->96 back-to-back), and
+  fusing lateral_32 into block_16.project costs +0.39ms. Same counter-
+  intuitive emitter behavior as the other ledger entries (PERFORMANCE.md):
+  at bs32 XLA's batch-in-lanes emitters prefer skinnier convs.
 """
 
 from __future__ import annotations
@@ -70,7 +85,7 @@ class PlanarEngine:
         folded_variables: Dict[str, Any],
         cfg: ModelConfig,
         max_chain_res: int = 0,
-        algebraic_fusion: bool = True,
+        algebraic_fusion: bool = False,
         interpret: bool = False,
     ):
         """max_chain_res=0 disables the Pallas chains — MEASURED SLOWER than
@@ -86,8 +101,12 @@ class PlanarEngine:
         - lateral_32 (1x1 on block_16's output, which nothing else consumes)
           folds into block_16.project: the 1920->320 projection becomes
           1920->fpn_channels, shrinking both compute and the stride-32 map.
+        Default False: MEASURED SLOWER on v5e at bs32@640 (+0.74ms and
+        +0.39ms respectively — see module docstring); exactness is still
+        covered by tests/test_planar_engine.py.
         """
         self.cfg = cfg
+        self.dtype = jnp.dtype(cfg.compute_dtype)
         self.max_chain_res = max_chain_res
         self.interpret = interpret
         self.plan = backbone_plan(cfg)
@@ -156,23 +175,26 @@ class PlanarEngine:
     def _xla_block(self, y, i: int, t: int, s: int, has_skip: bool):
         blk = self.p["backbone"][f"block_{i}"]
         r6 = self.cfg.relu6
+        dt = self.dtype
         z = y
         if t != 1:
             z = _conv(z, blk["expand"]["conv"]["kernel"],
-                      blk["expand"]["conv"]["bias"], relu6=r6)
+                      blk["expand"]["conv"]["bias"], relu6=r6, out_dtype=dt)
         e = blk["depthwise"]["conv"]["kernel"].shape[-1]
         z = _conv(z, blk["depthwise"]["conv"]["kernel"],
-                  blk["depthwise"]["conv"]["bias"], stride=s, groups=e, relu6=r6)
+                  blk["depthwise"]["conv"]["bias"], stride=s, groups=e,
+                  relu6=r6, out_dtype=dt)
         z = _conv(z, blk["project"]["conv"]["kernel"],
-                  blk["project"]["conv"]["bias"], act=False)
+                  blk["project"]["conv"]["bias"], act=False, out_dtype=dt)
         return y + z if has_skip else z
 
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         bb = self.p["backbone"]
         r6 = cfg.relu6
-        y = _conv(x, bb["stem"]["conv"]["kernel"], bb["stem"]["conv"]["bias"],
-                  stride=2, relu6=r6)
+        dt = self.dtype
+        y = _conv(x.astype(dt), bb["stem"]["conv"]["kernel"],
+                  bb["stem"]["conv"]["bias"], stride=2, relu6=r6, out_dtype=dt)
 
         feats: Dict[int, jnp.ndarray] = {}
         cin = cfg.width(cfg.stem_channels)
@@ -188,7 +210,7 @@ class PlanarEngine:
                 e = blk["depthwise"]["conv"]["kernel"].shape[-1]
                 y = _conv(y, blk["depthwise"]["conv"]["kernel"],
                           blk["depthwise"]["conv"]["bias"], stride=1,
-                          groups=e, relu6=r6)
+                          groups=e, relu6=r6, out_dtype=dt)
                 i += 1
                 continue
             # maximal run of stride-1 blocks at a kernel-friendly resolution
@@ -234,20 +256,22 @@ class PlanarEngine:
             y = jnp.maximum(f.astype(jnp.float32), 0.0)
             if r6:
                 y = jnp.minimum(y, 6.0)
-            y = y.astype(jnp.bfloat16)
+            y = y.astype(dt)
         else:
             y = _conv(f, nk[f"lateral_{strides[0]}"]["conv"]["kernel"],
-                      nk[f"lateral_{strides[0]}"]["conv"]["bias"], relu6=r6)
+                      nk[f"lateral_{strides[0]}"]["conv"]["bias"], relu6=r6,
+                      out_dtype=dt)
         for s in strides[1:]:
             lat = _conv(feats[s], nk[f"lateral_{s}"]["conv"]["kernel"],
-                        nk[f"lateral_{s}"]["conv"]["bias"], relu6=r6)
+                        nk[f"lateral_{s}"]["conv"]["bias"], relu6=r6,
+                        out_dtype=dt)
             bsz, hh, ww, cc = y.shape
             up = jnp.broadcast_to(
                 y[:, :, None, :, None, :], (bsz, hh, 2, ww, 2, cc)
             ).reshape(bsz, 2 * hh, 2 * ww, cc)
             y = up + lat
             y = _conv(y, nk[f"smooth_{s}"]["conv"]["kernel"],
-                      nk[f"smooth_{s}"]["conv"]["bias"], relu6=r6)
+                      nk[f"smooth_{s}"]["conv"]["bias"], relu6=r6, out_dtype=dt)
 
         # ---- heads (fused single-branch or per-branch) ----
         hp = self.p["heads"]
@@ -255,7 +279,7 @@ class PlanarEngine:
         if self.fused_heads:
             node = hp["fused"]
             z = _conv(y, node["conv"]["kernel"], node["conv"]["bias"],
-                      relu6=False)
+                      relu6=False, out_dtype=dt)
             z = _conv(z, node["out"]["kernel"], node["out"]["bias"],
                       act=False, out_dtype=jnp.float32)
             names = [("hm", cfg.num_classes), ("wh", 2), ("off", 2)]
@@ -272,7 +296,7 @@ class PlanarEngine:
                 z = y
                 if cfg.head_conv > 0:
                     z = _conv(z, node["conv"]["kernel"], node["conv"]["bias"],
-                              relu6=False)
+                              relu6=False, out_dtype=dt)
                 out[name] = _conv(z, node["out"]["kernel"], node["out"]["bias"],
                                   act=False, out_dtype=jnp.float32)
         return out
