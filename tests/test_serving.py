@@ -1,0 +1,105 @@
+"""Dynamic-batching ServingEngine tests (runtime/serving.py).
+
+CPU, small model input (64) for speed; f32 compute so the coalesced bs-16
+program and the direct bs-4 program agree tightly.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from tpucenterface.config import DetectorConfig, ModelConfig
+from tpucenterface.detector import Detector
+from tpucenterface.runtime.serving import ServingEngine
+
+HW = (64, 64)
+
+
+@pytest.fixture(scope="module")
+def det():
+    cfg = DetectorConfig(
+        model=ModelConfig(compute_dtype="float32"), default_size=64
+    )
+    return Detector(config=cfg, rng=jax.random.PRNGKey(0))
+
+
+def _requests(n_req, bs, seed=0):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 255, (bs, *HW, 3), np.uint8) for _ in range(n_req)]
+
+
+def test_map_stream_matches_direct(det):
+    reqs = _requests(6, 4)
+    eng = ServingEngine(det, HW, device_batch=16, score_thresh=-1.0)
+    got = list(eng.map_stream((r, None) for r in reqs))
+    assert len(got) == 6
+    for req_imgs, dets in zip(reqs, got):
+        direct = det.detect_batch(req_imgs, score_thresh=-1.0)
+        assert len(dets) == len(direct) == 4
+        for a, b in zip(dets, direct):
+            np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
+            np.testing.assert_allclose(a.boxes, b.boxes, atol=1e-3)
+
+
+def test_map_stream_coalesces_launches(det):
+    eng = ServingEngine(det, HW, device_batch=16, score_thresh=-1.0)
+    launches = []
+    orig = eng._fn
+
+    def spy(batch):
+        launches.append(batch)
+        return orig(batch)
+
+    eng._fn = spy
+    reqs = _requests(8, 4)  # 32 images -> 2 launches of 16
+    out = list(eng.map_stream((r, None) for r in reqs))
+    assert len(out) == 8
+    assert launches == [16, 16], launches
+
+
+def test_map_stream_ragged_tail_pads_to_device_batch(det):
+    eng = ServingEngine(det, HW, device_batch=16, score_thresh=-1.0)
+    launches = []
+    orig = eng._fn
+    eng._fn = lambda b: (launches.append(b), orig(b))[1]
+    reqs = _requests(3, 6)  # 18 images -> [12-image launch, 6-image launch]
+    out = list(eng.map_stream((r, None) for r in reqs))
+    assert len(out) == 3
+    # both launches pad to the single compiled device_batch executable
+    assert launches == [16, 16], launches
+    # tail results are real detections, not the zero-pad dummies
+    assert all(len(d.scores) > 0 for d in out[-1])
+
+
+def test_submit_async_roundtrip_and_order(det):
+    reqs = _requests(5, 3, seed=2)
+    with ServingEngine(det, HW, device_batch=8, score_thresh=-1.0) as eng:
+        futures = [eng.submit(r) for r in reqs]
+        results = [f.result(timeout=120) for f in futures]
+    for req_imgs, dets in zip(reqs, results):
+        direct = det.detect_batch(req_imgs, score_thresh=-1.0)
+        for a, b in zip(dets, direct):
+            np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
+            np.testing.assert_allclose(a.boxes, b.boxes, atol=1e-3)
+
+
+def test_submit_single_image_and_shape_check(det):
+    with ServingEngine(det, HW, device_batch=4, score_thresh=-1.0) as eng:
+        fut = eng.submit(np.zeros((*HW, 3), np.uint8))  # 3D -> 1-image request
+        dets = fut.result(timeout=120)
+        assert len(dets) == 1
+        with pytest.raises(ValueError):
+            eng.submit(np.zeros((2, 32, 32, 3), np.uint8))
+    with pytest.raises(RuntimeError):
+        eng.submit(np.zeros((1, *HW, 3), np.uint8))
+
+
+def test_oversize_request_runs_in_one_launch(det):
+    eng = ServingEngine(det, HW, device_batch=4, score_thresh=-1.0)
+    launches = []
+    orig = eng._fn
+    eng._fn = lambda b: (launches.append(b), orig(b))[1]
+    imgs = _requests(1, 6)[0]  # bigger than device_batch
+    out = list(eng.map_stream([(imgs, None)]))
+    assert len(out) == 1 and len(out[0]) == 6
+    assert launches == [6]

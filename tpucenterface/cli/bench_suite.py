@@ -70,8 +70,49 @@ def config2_batch640(det, batch=32) -> dict:
     _barrier(out[1])
     dt = time.perf_counter() - t0
     ips = batch * n / dt
+
+    # Serving mode: the SAME bs32 request stream dynamically coalesced into
+    # bs128 device programs (runtime/serving.ServingEngine) — the measured
+    # production path past the bs32 emitter wall (PERFORMANCE.md). Reported
+    # two ways, per the suite's tunnel/device convention:
+    #  - device img/s: staged inputs through the coalesced bs128 program
+    #    (what a co-located serving host sees);
+    #  - wall img/s: fresh host data per request, which under the axon relay
+    #    is bounded by shipping ~157MB/launch through the ~0.5GB/s tunnel.
+    dev_b = 128
+    imgs128 = jnp.asarray(
+        rng.randint(0, 255, (dev_b, 640, 640, 3), np.uint8)
+    )
+    hws128 = jnp.asarray(
+        np.tile(np.array([[640, 640]], np.int32), (dev_b, 1))
+    )
+    fn128 = det._batch_fn(dev_b, (640, 640), 640)
+    _barrier(fn128(imgs128, hws128)[1])
+    n128 = max(1, (n * batch) // dev_b)
+    t0 = time.perf_counter()
+    for _ in range(n128):
+        out = fn128(imgs128, hws128)
+    _barrier(out[1])
+    serving_dev_ips = dev_b * n128 / (time.perf_counter() - t0)
+
+    from tpucenterface.runtime.serving import ServingEngine
+
+    host_reqs = [
+        rng.randint(0, 255, (batch, 640, 640, 3), np.uint8) for _ in range(16)
+    ]
+    eng = ServingEngine(det, (640, 640), device_batch=dev_b)
+    list(eng.map_stream((r, None) for r in host_reqs[:4]))  # warm
+    t0 = time.perf_counter()
+    n_out = sum(
+        len(r) for r in eng.map_stream((r, None) for r in host_reqs)
+    )
+    serving_wall_ips = n_out / (time.perf_counter() - t0)
+
     return {"metric": "images/sec/chip @640x640 bs32 fused", "value": round(ips, 1),
-            "unit": "img/s", "vs_baseline": round(ips / 5000.0, 4)}
+            "unit": "img/s", "vs_baseline": round(ips / 5000.0, 4),
+            "serving_coalesced_device_img_s": round(serving_dev_ips, 1),
+            "serving_coalesced_wall_img_s": round(serving_wall_ips, 1),
+            "serving_device_batch": dev_b}
 
 
 def config3_tta(det, wider_root=None, n_imgs=48) -> dict:

@@ -1,0 +1,294 @@
+"""Dynamic-batching serving engine: coalesce detect requests into large
+device batches.
+
+Why this exists (measured, PERFORMANCE.md): on v5e the bs=32 detect program
+is lane-fill-bound in XLA's batch-in-lanes conv emitters — ~7ms of the
+14.3ms program is batch-size-INDEPENDENT emitter waste, so per-image cost
+halves from 0.52ms at bs32 to 0.26ms at bs128. Every structural route to
+recovering that inside a bs32 program was probed and measured closed
+(PERFORMANCE.md items 1-16). The production answer — the same one every
+large-scale serving system uses — is dynamic batching: admit requests of any
+batch size, coalesce them into a large device batch (default 128), run ONE
+fused program, and scatter the per-request results back.
+
+This is the TPU-shaped equivalent of the request loop the reference family
+runs one image at a time (SURVEY.md §3.1 [K]): same API contract per request
+(`boxes, scores = ...` per image), throughput set by the bs>=128 program
+(~3.9k img/s/chip measured) instead of by the per-request batch size.
+
+Two operating modes:
+- `ServingEngine.submit(images)` — thread-safe, returns a Future; a
+  background worker drains the queue, coalescing up to `device_batch`
+  images per program launch. Launch and result-fetch are pipelined (a
+  depth-`inflight` deque of enqueued programs), so device compute of group
+  N+1 overlaps the device->host transfer of group N.
+- `ServingEngine.map_stream(batches)` — synchronous helper for offline
+  sweeps/benchmarks: coalesces an iterator of (B_i, H, W, 3) request
+  batches and yields per-request results in order, with the same pipelined
+  fetch discipline.
+
+All requests in one engine share a single padded input shape (the engine is
+per-bucket, like the Detector's jit cache); mixed shapes belong in
+eval.batch_runner's bucketing layer above this one.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Any, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tpucenterface.detector import Detections, Detector
+
+
+class _Request:
+    __slots__ = ("images", "hws", "future", "n")
+
+    def __init__(self, images: np.ndarray, hws: np.ndarray):
+        self.images = images
+        self.hws = hws
+        self.n = images.shape[0]
+        self.future: Future = Future()
+
+
+class ServingEngine:
+    """Coalescing executor over one Detector and one input bucket.
+
+    Args:
+      detector: the Detector whose fused programs serve the requests.
+      padded_hw: the (H, W) every request's images are already padded to
+        (one compiled program per padded shape, as in Detector._batch_fn).
+      device_batch: target device batch per launch; requests coalesce up to
+        this many images. 128 is the measured occupancy knee on v5e.
+      size: model input size (defaults to the detector's default bucket).
+      score_thresh: threshold applied to the fixed-K results per request.
+      inflight: how many enqueued-but-unfetched programs to keep (2 =
+        double buffering; device execution is FIFO so deeper adds latency,
+        not throughput).
+    """
+
+    def __init__(
+        self,
+        detector: Detector,
+        padded_hw: Tuple[int, int],
+        device_batch: int = 128,
+        size: Optional[int] = None,
+        score_thresh: Optional[float] = None,
+        inflight: int = 2,
+    ):
+        if device_batch < 1:
+            raise ValueError("device_batch must be >= 1")
+        self.det = detector
+        self.padded_hw = tuple(padded_hw)
+        self.device_batch = device_batch
+        self.size = size or detector.config.default_size
+        self.inflight = max(1, inflight)
+        self.thresh = (
+            detector.config.decode.score_thresh
+            if score_thresh is None
+            else score_thresh
+        )
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        self._closed = False
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------------ #
+    # core: launch one coalesced group / fetch its results
+    # ------------------------------------------------------------------ #
+
+    def _fn(self, batch: int):
+        return self.det._batch_fn(batch, self.padded_hw, self.size)
+
+    def _launch(self, group: Sequence[_Request]) -> Tuple[Sequence[_Request], Any]:
+        """Enqueue ONE fused program for the group; no host sync."""
+        import jax.numpy as jnp
+
+        total = sum(r.n for r in group)
+        # pad the coalesced batch up to device_batch so one executable
+        # serves every group (no recompiles for ragged tails)
+        b = self.device_batch if total <= self.device_batch else total
+        imgs = np.zeros((b, *self.padded_hw, 3), np.uint8)
+        hws = np.ones((b, 2), np.int32)  # 1x1 dummies for pad rows
+        o = 0
+        for r in group:
+            imgs[o : o + r.n] = r.images
+            hws[o : o + r.n] = r.hws
+            o += r.n
+        try:
+            res = self._fn(b)(jnp.asarray(imgs), jnp.asarray(hws))
+        except Exception as e:
+            for r in group:
+                if not r.future.cancelled():
+                    r.future.set_exception(e)
+            return group, None
+        return group, res
+
+    def _finalize(self, group: Sequence[_Request], res: Any) -> None:
+        """Fetch a launched group's results and fulfil its futures."""
+        if res is None:
+            return
+        try:
+            boxes = np.asarray(res[0])
+            scores = np.asarray(res[1])
+            lms = np.asarray(res[2]) if len(res) == 3 else None
+        except Exception as e:
+            for r in group:
+                if not r.future.cancelled():
+                    r.future.set_exception(e)
+            return
+        o = 0
+        for r in group:
+            out: List[Detections] = []
+            for i in range(o, o + r.n):
+                keep = scores[i] >= self.thresh
+                out.append(
+                    Detections(
+                        boxes[i][keep],
+                        scores[i][keep],
+                        lms[i][keep] if lms is not None else None,
+                    )
+                )
+            o += r.n
+            if not r.future.cancelled():
+                r.future.set_result(out)
+
+    def _coalesce(self, first: _Request) -> List[_Request]:
+        group = [first]
+        n = first.n
+        while n < self.device_batch:
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if r is None:  # shutdown sentinel: put it back for the loop
+                self._queue.put(None)
+                break
+            group.append(r)
+            n += r.n
+        return group
+
+    def _worker_loop(self) -> None:
+        pending: collections.deque = collections.deque()
+        while True:
+            r = self._queue.get()
+            if r is None:
+                while pending:
+                    self._finalize(*pending.popleft())
+                return
+            pending.append(self._launch(self._coalesce(r)))
+            while len(pending) > self.inflight:
+                self._finalize(*pending.popleft())
+            # idle: no queued work -> drain the pipeline
+            if self._queue.empty():
+                while pending:
+                    self._finalize(*pending.popleft())
+
+    # ------------------------------------------------------------------ #
+    # async API
+    # ------------------------------------------------------------------ #
+
+    def submit(
+        self, images: np.ndarray, hws: Optional[np.ndarray] = None
+    ) -> Future:
+        """Enqueue a (B, H, W, 3) uint8 request; Future -> List[Detections].
+
+        Requests queued while a launch is in flight coalesce into the next
+        launch (up to `device_batch` images per program).
+        """
+        if self._closed:
+            raise RuntimeError("ServingEngine is closed")
+        if images.ndim == 3:
+            images = images[None]
+        if images.shape[1:3] != self.padded_hw:
+            raise ValueError(
+                f"request shape {images.shape[1:3]} != engine bucket "
+                f"{self.padded_hw}; pad first (preprocess.pad_to_bucket)"
+            )
+        if hws is None:
+            hws = np.tile(
+                np.array(self.padded_hw, np.int32)[None], (images.shape[0], 1)
+            )
+        req = _Request(images, np.asarray(hws, np.int32))
+        with self._lock:
+            if self._worker is None:
+                self._worker = threading.Thread(
+                    target=self._worker_loop, daemon=True
+                )
+                self._worker.start()
+        self._queue.put(req)
+        return req.future
+
+    def close(self) -> None:
+        """Drain and stop the worker (idempotent)."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            if self._worker is not None:
+                self._queue.put(None)
+                self._worker.join()
+                self._worker = None
+
+    def __enter__(self) -> "ServingEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # ------------------------------------------------------------------ #
+    # synchronous stream API (offline sweeps / benchmarks)
+    # ------------------------------------------------------------------ #
+
+    def map_stream(
+        self,
+        batches: Iterable[Tuple[np.ndarray, Optional[np.ndarray]]],
+    ) -> Iterator[List[Detections]]:
+        """Coalesce an iterator of (images, hws) request batches; yield each
+        request's List[Detections] in order.
+
+        Greedily packs requests into `device_batch`-image launches with a
+        depth-`inflight` pipeline of unfetched programs, so device compute
+        overlaps result transfer (the same no-per-step-sync discipline as
+        bench.py).
+        """
+        launched: collections.deque = collections.deque()
+        done: List[_Request] = []
+        group: List[_Request] = []
+        n = 0
+
+        def flush_group():
+            nonlocal group, n
+            if group:
+                launched.append(self._launch(group))
+                group, n = [], 0
+                while len(launched) > self.inflight:
+                    self._finalize(*launched.popleft())
+
+        for images, hws in batches:
+            if images.shape[1:3] != self.padded_hw:
+                raise ValueError(
+                    f"request shape {images.shape[1:3]} != bucket {self.padded_hw}"
+                )
+            if hws is None:
+                hws = np.tile(
+                    np.array(self.padded_hw, np.int32)[None],
+                    (images.shape[0], 1),
+                )
+            r = _Request(images, np.asarray(hws, np.int32))
+            if n + r.n > self.device_batch:
+                flush_group()
+            group.append(r)
+            n += r.n
+            done.append(r)
+            while done and done[0].future.done():
+                yield done.pop(0).future.result()
+        flush_group()
+        while launched:
+            self._finalize(*launched.popleft())
+        for r in done:
+            yield r.future.result()
