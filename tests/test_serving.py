@@ -103,3 +103,26 @@ def test_oversize_request_runs_in_one_launch(det):
     out = list(eng.map_stream([(imgs, None)]))
     assert len(out) == 1 and len(out[0]) == 6
     assert launches == [6]
+
+
+def test_detector_quantize_serving_mode(det):
+    """Opt-in W8A8 forward: detect still runs and tracks the float path."""
+    rng = np.random.RandomState(3)
+    calib = rng.randint(0, 255, (4, *HW, 3), np.uint8)
+    img = rng.randint(0, 255, (*HW, 3), np.uint8)
+    ref = det.detect(img, score_thresh=-1.0)
+    scales = det.quantize(calib_images=calib)
+    try:
+        assert scales and all(v > 0 for v in scales.values())
+        assert det._quant is not None
+        q = det.detect(img, score_thresh=-1.0)
+        assert q.boxes.shape == ref.boxes.shape
+        assert np.isfinite(q.scores).all()
+        # PTQ tracks the float path loosely (random weights, sigmoid scores)
+        np.testing.assert_allclose(
+            np.sort(q.scores), np.sort(ref.scores), atol=0.05
+        )
+    finally:
+        det.dequantize()
+    back = det.detect(img, score_thresh=-1.0)
+    np.testing.assert_allclose(back.scores, ref.scores, atol=1e-6)

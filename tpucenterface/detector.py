@@ -102,6 +102,7 @@ class Detector:
             from tpucenterface.model.planar_engine import PlanarEngine
 
             self._engine = PlanarEngine(self.variables, self.config.model)
+        self._quant = None  # set by quantize(): opt-in W8A8 serving forward
         self._fn_cache: Dict[Tuple, Any] = {}
 
     # ------------------------------------------------------------------ #
@@ -154,9 +155,67 @@ class Detector:
         return boxes, scores, lm
 
     def _forward(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        if self._quant is not None:
+            return self._quant(x)
         if self._engine is not None:
             return self._engine(x)
         return self.model.apply(self.variables, x, train=False)
+
+    def quantize(
+        self,
+        calib_images: Optional[np.ndarray] = None,
+        calib_batches: Optional[list] = None,
+        size: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Switch this Detector to the W8A8 int8 forward (opt-in PTQ).
+
+        Measured on v5e @640 (PERFORMANCE.md): the int8 forward LOSES at
+        bs32 (the unfused q/dq chains add HBM passes to an occupancy-bound
+        program) but WINS at bs>=128 (25.0 vs 27.0ms forward) where the MXU
+        int8 rate dominates — use together with the dynamic-batching
+        ServingEngine (runtime/serving.py). Depthwise convs stay bf16.
+
+        NOT the parity path: head maps move by ~1% of their range
+        (tests/test_quant.py pins the accuracy); keep the default bf16
+        forward wherever reference-parity matters.
+
+        Calibration: pass raw uint8 images (N, H, W, 3) — they run through
+        the device-side letterbox into the serving distribution — or
+        pre-normalized arrays via `calib_batches`. Returns the per-conv
+        activation scales.
+        """
+        from tpucenterface.quant.engine import QuantEngine
+
+        if not self.config.model.folded:
+            raise ValueError("quantize() requires folded inference weights")
+        eng = QuantEngine(self.variables, self.config.model)
+        if calib_batches is not None:
+            xs = [jnp.asarray(b) for b in calib_batches]
+        elif calib_images is not None:
+            size = size or self.config.default_size
+            imgs = np.asarray(calib_images)
+            hws = np.tile(
+                np.array(imgs.shape[1:3], np.int32)[None], (imgs.shape[0], 1)
+            )
+            x, _, _ = letterbox_normalize_batch(
+                jnp.asarray(imgs),
+                jnp.asarray(hws),
+                size,
+                self.config.preprocess,
+            )
+            xs = [x]
+        else:
+            raise ValueError("pass calib_images (uint8) or calib_batches")
+        scales = eng.calibrate(xs)
+        self._quant = eng
+        self._fn_cache.clear()  # programs must rebuild on the int8 forward
+        return scales
+
+    def dequantize(self) -> None:
+        """Return to the default bf16 forward."""
+        if self._quant is not None:
+            self._quant = None
+            self._fn_cache.clear()
 
     def _single_fn(self, padded_hw: Tuple[int, int], size: int):
         key = ("single", padded_hw, size)

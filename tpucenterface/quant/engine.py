@@ -7,12 +7,15 @@ One traversal function drives three modes:
                 int8 activations (per-layer scales from calibration) on the
                 MXU ops; depthwise stays bf16; requantization is written as
                 a conv epilogue (int32 -> f32 scale+bias+ReLU6 -> bf16), but
-                MEASURED REALITY (PERFORMANCE.md #4): XLA does NOT fuse the
-                q/dq elementwise chains into the int8 convolution, so this
-                engine adds HBM passes and loses end-to-end on the
-                traffic-bound model (18.6 vs 13.4 ms). A truly fused requant
-                (int8 stores from a producer epilogue) is the Pallas path in
-                ops/ — this XLA engine remains the accuracy/parity oracle.
+                MEASURED REALITY (PERFORMANCE.md #4 + round-2 session-3):
+                XLA does NOT fuse the q/dq elementwise chains into the int8
+                convolution, so at the occupancy-bound bs32 this engine
+                adds HBM passes and LOSES (1604 vs 2112 img/s e2e) — but at
+                bs>=128, where the program is arithmetic-heavy, the int8
+                MXU rate dominates and it WINS: 4384 vs 3832 img/s e2e.
+                Opt-in serving mode via Detector.quantize() for use with
+                the dynamic-batching ServingEngine; the bf16 path stays the
+                parity default.
 
 Scale conventions: symmetric, x_q = clip(round(x / s), -127, 127).
 """
