@@ -65,3 +65,57 @@ def test_letterbox_batch_per_image_sizes():
     np.testing.assert_allclose(np.asarray(s), [0.75, 0.75, 0.75], atol=1e-6)
     # image 1 is 64 tall: half-height content, centered vertically
     assert abs(float(pads[1, 1]) - (96 - 64 * 0.75) / 2) < 1e-4
+
+
+def test_identity_fast_path_matches_letterbox():
+    """normalize_images == letterbox_normalize_batch on pre-sized inputs
+    (scale-1 letterbox is the identity up to resample-matmul rounding)."""
+    from tpucenterface.preprocess import normalize_images
+
+    rng = np.random.RandomState(2)
+    size = 128
+    imgs = rng.randint(0, 255, (4, size, size, 3), np.uint8)
+    hws = np.full((4, 2), size, np.int32)
+    cfg = PreprocessConfig()
+    x_gen, s, pads = letterbox_normalize_batch(
+        jnp.asarray(imgs), jnp.asarray(hws), size, cfg
+    )
+    x_id = normalize_images(jnp.asarray(imgs), cfg)
+    np.testing.assert_allclose(np.asarray(s), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pads), 0.0, atol=1e-5)
+    diff = np.abs(np.asarray(x_gen, np.float32) - np.asarray(x_id, np.float32))
+    # general path rounds through the bf16 resample matmuls; identity is exact
+    assert float(diff.mean()) < 0.02, float(diff.mean())
+
+
+def test_detector_identity_dispatch_matches_general():
+    from tpucenterface.config import DetectorConfig, ModelConfig
+    from tpucenterface.detector import Detector
+
+    import dataclasses
+    import jax
+
+    size = 64
+    rng = np.random.RandomState(5)
+    imgs = rng.randint(0, 255, (2, size, size, 3), np.uint8)
+    cfg_on = DetectorConfig(
+        model=ModelConfig(compute_dtype="float32"), default_size=size
+    )
+    det = Detector(config=cfg_on, rng=jax.random.PRNGKey(1))
+    out_id = det.detect_batch(imgs, score_thresh=-1.0)
+    assert ("batch", 2, (size, size), size, True) in det._fn_cache
+
+    # reuse det's (already folded) config so the folded variables load
+    cfg_off = dataclasses.replace(
+        det.config,
+        preprocess=dataclasses.replace(
+            det.config.preprocess, identity_fast_path=False
+        ),
+    )
+    det2 = Detector(variables=det.variables, config=cfg_off)
+    out_gen = det2.detect_batch(imgs, score_thresh=-1.0)
+    assert ("batch", 2, (size, size), size, False) in det2._fn_cache
+    for a, b in zip(out_id, out_gen):
+        np.testing.assert_allclose(a.scores, b.scores, atol=2e-3)
+        # box agreement where scores are well-separated (top detections)
+        np.testing.assert_allclose(a.boxes[:5], b.boxes[:5], atol=0.5)

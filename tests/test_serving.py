@@ -46,9 +46,9 @@ def test_map_stream_coalesces_launches(det):
     launches = []
     orig = eng._fn
 
-    def spy(batch):
+    def spy(batch, **kw):
         launches.append(batch)
-        return orig(batch)
+        return orig(batch, **kw)
 
     eng._fn = spy
     reqs = _requests(8, 4)  # 32 images -> 2 launches of 16
@@ -61,7 +61,7 @@ def test_map_stream_ragged_tail_pads_to_device_batch(det):
     eng = ServingEngine(det, HW, device_batch=16, score_thresh=-1.0)
     launches = []
     orig = eng._fn
-    eng._fn = lambda b: (launches.append(b), orig(b))[1]
+    eng._fn = lambda b, **kw: (launches.append(b), orig(b, **kw))[1]
     reqs = _requests(3, 6)  # 18 images -> [12-image launch, 6-image launch]
     out = list(eng.map_stream((r, None) for r in reqs))
     assert len(out) == 3
@@ -98,7 +98,7 @@ def test_oversize_request_runs_in_one_launch(det):
     eng = ServingEngine(det, HW, device_batch=4, score_thresh=-1.0)
     launches = []
     orig = eng._fn
-    eng._fn = lambda b: (launches.append(b), orig(b))[1]
+    eng._fn = lambda b, **kw: (launches.append(b), orig(b, **kw))[1]
     imgs = _requests(1, 6)[0]  # bigger than device_batch
     out = list(eng.map_stream([(imgs, None)]))
     assert len(out) == 1 and len(out[0]) == 6

@@ -217,15 +217,22 @@ class Detector:
             self._quant = None
             self._fn_cache.clear()
 
-    def _single_fn(self, padded_hw: Tuple[int, int], size: int):
-        key = ("single", padded_hw, size)
+    def _single_fn(self, padded_hw: Tuple[int, int], size: int, identity: bool = False):
+        key = ("single", padded_hw, size, identity)
         if key not in self._fn_cache:
 
             @jax.jit
             def run(img_u8: jnp.ndarray, hw: jnp.ndarray):
-                x, scale, pad = letterbox_normalize(
-                    img_u8, hw, size, self.config.preprocess
-                )
+                if identity:
+                    from tpucenterface.preprocess import normalize_images
+
+                    x = normalize_images(img_u8, self.config.preprocess)
+                    scale = jnp.float32(1.0)
+                    pad = jnp.zeros((2,), jnp.float32)
+                else:
+                    x, scale, pad = letterbox_normalize(
+                        img_u8, hw, size, self.config.preprocess
+                    )
                 feats = self._forward(x[None])
                 boxes, scores, lm = self._decode(feats)
                 boxes = boxes_to_original(boxes[0], scale, pad, hw)
@@ -240,15 +247,28 @@ class Detector:
             self._fn_cache[key] = run
         return self._fn_cache[key]
 
-    def _batch_fn(self, batch: int, padded_hw: Tuple[int, int], size: int):
-        key = ("batch", batch, padded_hw, size)
+    def _batch_fn(
+        self,
+        batch: int,
+        padded_hw: Tuple[int, int],
+        size: int,
+        identity: bool = False,
+    ):
+        key = ("batch", batch, padded_hw, size, identity)
         if key not in self._fn_cache:
 
             @jax.jit
             def run(imgs_u8: jnp.ndarray, hws: jnp.ndarray):
-                x, scales, pads = letterbox_normalize_batch(
-                    imgs_u8, hws, size, self.config.preprocess
-                )
+                if identity:
+                    from tpucenterface.preprocess import normalize_images
+
+                    x = normalize_images(imgs_u8, self.config.preprocess)
+                    scales = jnp.ones((batch,), jnp.float32)
+                    pads = jnp.zeros((batch, 2), jnp.float32)
+                else:
+                    x, scales, pads = letterbox_normalize_batch(
+                        imgs_u8, hws, size, self.config.preprocess
+                    )
                 feats = self._forward(x)
                 boxes, scores, lm = self._decode(feats)
                 boxes = jax.vmap(boxes_to_original)(boxes, scales, pads, hws)
@@ -328,7 +348,14 @@ class Detector:
         size = size or self.config.default_size
         h, w = image.shape[:2]
         padded = pad_to_bucket(image)
-        fn = self._single_fn(padded.shape[:2], size)
+        # pre-sized input: the letterbox is scale=1/pad=0, dispatch to the
+        # identity-preprocess program (PreprocessConfig.identity_fast_path)
+        identity = (
+            self.config.preprocess.identity_fast_path
+            and padded.shape[:2] == (size, size)
+            and (h, w) == (size, size)
+        )
+        fn = self._single_fn(padded.shape[:2], size, identity=identity)
         out = fn(jnp.asarray(padded), jnp.array([h, w], jnp.int32))
         boxes = np.asarray(out[0])
         scores = np.asarray(out[1])
@@ -352,7 +379,12 @@ class Detector:
         b = images.shape[0]
         if hws is None:
             hws = np.tile(np.array(images.shape[1:3], np.int32), (b, 1))
-        fn = self._batch_fn(b, images.shape[1:3], size)
+        identity = (
+            self.config.preprocess.identity_fast_path
+            and images.shape[1:3] == (size, size)
+            and bool((np.asarray(hws) == size).all())
+        )
+        fn = self._batch_fn(b, images.shape[1:3], size, identity=identity)
         res = fn(jnp.asarray(images), jnp.asarray(hws))
         boxes = np.asarray(res[0])
         scores = np.asarray(res[1])

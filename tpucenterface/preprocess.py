@@ -99,6 +99,29 @@ def letterbox_normalize_matmul(
     return x, s, jnp.stack([pad_x, pad_y], axis=-1)
 
 
+def normalize_images(imgs_u8: jnp.ndarray, cfg: PreprocessConfig) -> jnp.ndarray:
+    """Exact preprocess for inputs already at the model size: BGR->RGB +
+    mean/std normalize, NO resample.
+
+    For an (..., size, size, 3) input the letterbox is scale=1 / pad=0 — a
+    mathematical identity — so the two resize contractions (dense bilinear
+    matmuls) are skippable. The Detector dispatches here host-side when
+    every image in the call is exactly the model size (the common pre-sized
+    serving case); boxes come back through the same inverse letterbox with
+    scale 1 / pad 0. MEASURED e2e-neutral on v5e (the matmuls' 2.2ms op
+    time hides under scheduling/layout effects once removed — see
+    PERFORMANCE.md); the real benefit is exactness: no bf16 resample
+    rounding on pre-sized inputs.
+    """
+    dtype = jnp.dtype(cfg.resize_dtype)
+    x = imgs_u8.astype(jnp.float32)
+    if cfg.bgr_input:
+        x = x[..., ::-1]
+    mean = jnp.asarray(cfg.mean, jnp.float32) * 255.0
+    std = jnp.asarray(cfg.std, jnp.float32) * 255.0
+    return ((x - mean) / std).astype(dtype)
+
+
 def letterbox_normalize(
     img_u8: jnp.ndarray,
     hw: jnp.ndarray,

@@ -68,7 +68,20 @@ class QuantEngine:
         groups: int = 1,
         act: str = "relu6",
         out_dtype=jnp.bfloat16,
+        out_int8_tag: Optional[str] = None,
     ) -> jnp.ndarray:
+        """One conv of the engine graph.
+
+        out_int8_tag: when set (quant mode), the output is quantized with
+        the CONSUMER's calibrated activation scale inside this conv's
+        epilogue and returned as int8 — the consumer then skips its input
+        quantization pass. Numerically identical to quantizing at the
+        consumer (same scale, same op); the win is traffic: the producer
+        writes half the bytes and the standalone quantize read+write pass
+        on the (6x-expanded) tensor disappears. Used on the dw -> project
+        boundary, where the producer is a bf16 conv whose epilogue XLA
+        fuses freely.
+        """
         kh = k.shape[0]
         pad = (kh - 1) // 2
         quantize = mode == "quant" and groups == 1  # MXU ops only
@@ -77,9 +90,12 @@ class QuantEngine:
             self._amax[tag] = max(self._amax.get(tag, 0.0), amax, 1e-6)
         if quantize:
             sx = jnp.float32(self.act_scales[tag] / 127.0)
-            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(
-                jnp.int8
-            )
+            if x.dtype == jnp.int8:
+                xq = x  # producer already emitted this conv's quantization
+            else:
+                xq = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) / sx), -127, 127
+                ).astype(jnp.int8)
             # weights are trace constants: XLA folds this quantization at
             # compile time (do NOT cache — caching traced values leaks tracers)
             kq, sw = _quantize_weight(k)
@@ -107,6 +123,11 @@ class QuantEngine:
             y = jnp.minimum(jnp.maximum(y, 0.0), 6.0)
         elif act == "relu":
             y = jnp.maximum(y, 0.0)
+        if mode == "quant" and out_int8_tag is not None:
+            s_next = jnp.float32(self.act_scales[out_int8_tag] / 127.0)
+            return jnp.clip(
+                jnp.round(y.astype(jnp.float32) / s_next), -127, 127
+            ).astype(jnp.int8)
         return y.astype(out_dtype)
 
     # ------------------------------------------------------------------ #
@@ -116,10 +137,10 @@ class QuantEngine:
         bb = self.p["backbone"]
         act = "relu6" if cfg.relu6 else "relu"
 
-        def cb(tag, node, z, stride=1, groups=1, a=act):
+        def cb(tag, node, z, stride=1, groups=1, a=act, out_int8=None):
             return self._conv(
                 tag, mode, z, node["conv"]["kernel"], node["conv"]["bias"],
-                stride=stride, groups=groups, act=a,
+                stride=stride, groups=groups, act=a, out_int8_tag=out_int8,
             )
 
         y = cb("stem", bb["stem"], x, stride=2)
@@ -130,7 +151,10 @@ class QuantEngine:
             if t != 1:
                 z = cb(f"b{i}.expand", blk["expand"], z)
             ce = z.shape[-1]
-            z = cb(f"b{i}.dw", blk["depthwise"], z, stride=s, groups=ce)
+            # dw emits int8 with the project's scale from its own epilogue:
+            # kills the standalone quantize pass on the 6x-expanded tensor
+            z = cb(f"b{i}.dw", blk["depthwise"], z, stride=s, groups=ce,
+                   out_int8=f"b{i}.project")
             z = cb(f"b{i}.project", blk["project"], z, a="none")
             skip = s == 1 and y.shape[-1] == z.shape[-1]
             y = y + z if skip else z
@@ -152,7 +176,8 @@ class QuantEngine:
 
         hf = self.p["heads"]["fused"]
         z = self._conv("head.conv", mode, y, hf["conv"]["kernel"],
-                       hf["conv"]["bias"], act="relu")
+                       hf["conv"]["bias"], act="relu",
+                       out_int8_tag="head.out")
         out_full = self._conv(
             "head.out", mode, z, hf["out"]["kernel"], hf["out"]["bias"],
             act="none", out_dtype=jnp.float32,

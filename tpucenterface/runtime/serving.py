@@ -101,8 +101,10 @@ class ServingEngine:
     # core: launch one coalesced group / fetch its results
     # ------------------------------------------------------------------ #
 
-    def _fn(self, batch: int):
-        return self.det._batch_fn(batch, self.padded_hw, self.size)
+    def _fn(self, batch: int, identity: bool = False):
+        return self.det._batch_fn(
+            batch, self.padded_hw, self.size, identity=identity
+        )
 
     def _launch(self, group: Sequence[_Request]) -> Tuple[Sequence[_Request], Any]:
         """Enqueue ONE fused program for the group; no host sync."""
@@ -113,14 +115,25 @@ class ServingEngine:
         # serves every group (no recompiles for ragged tails)
         b = self.device_batch if total <= self.device_batch else total
         imgs = np.zeros((b, *self.padded_hw, 3), np.uint8)
-        hws = np.ones((b, 2), np.int32)  # 1x1 dummies for pad rows
+        # pre-sized fast path: if every real image in the group is exactly
+        # the model size, the whole launch can use the identity-preprocess
+        # program — pad rows then also carry hw=size so one executable fits
+        identity = (
+            self.det.config.preprocess.identity_fast_path
+            and self.padded_hw == (self.size, self.size)
+            and all((r.hws == self.size).all() for r in group)
+        )
+        fill = self.size if identity else 1
+        hws = np.full((b, 2), fill, np.int32)
         o = 0
         for r in group:
             imgs[o : o + r.n] = r.images
             hws[o : o + r.n] = r.hws
             o += r.n
         try:
-            res = self._fn(b)(jnp.asarray(imgs), jnp.asarray(hws))
+            res = self._fn(b, identity=identity)(
+                jnp.asarray(imgs), jnp.asarray(hws)
+            )
         except Exception as e:
             for r in group:
                 if not r.future.cancelled():
