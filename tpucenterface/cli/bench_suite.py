@@ -216,8 +216,27 @@ def config5_dp(det, batch=256) -> dict:
     _barrier(out[1])
     dt = time.perf_counter() - t0
     ips = b * n / dt
+
+    # int8 serving variant (opt-in W8A8; PERFORMANCE.md: wins at bs>=128
+    # per-chip occupancy, which is exactly the DP sweep's regime)
+    det.quantize(calib_images=imgs[:8])
+    try:
+        inner_q = det._batch_fn(b, (640, 640), 640)
+        fn_q = shard_batch_fn(
+            lambda im, hw: inner_q(im, hw), mesh, num_batch_args=2
+        )
+        _barrier(fn_q(dimgs, dhws)[1])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn_q(dimgs, dhws)
+        _barrier(out[1])
+        ips_q = b * n / (time.perf_counter() - t0)
+    finally:
+        det.dequantize()
     return {"metric": f"DP sweep bs={b} over {nd} device(s)", "value": round(ips, 1),
-            "unit": "img/s", "per_chip": round(ips / nd, 1)}
+            "unit": "img/s", "per_chip": round(ips / nd, 1),
+            "int8_img_s": round(ips_q, 1),
+            "int8_per_chip": round(ips_q / nd, 1)}
 
 
 def main(argv=None):
