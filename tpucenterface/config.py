@@ -55,6 +55,12 @@ class ModelConfig:
     hm_bias_init: float = -4.59511985013459
     # Conv/matmul compute dtype on TPU; heads are always computed/cast to f32.
     compute_dtype: str = "bfloat16"
+    # Dtype of the materialized BatchNorm tensors on the UNFOLDED (training)
+    # path. flax computes the batch statistics in f32 internally either way;
+    # this only sets the width of the normalized activations written between
+    # convs — the measured dominant training cost (PERFORMANCE.md). f32 is
+    # the safe default; 'bfloat16' is the measured-faster training option.
+    bn_compute_dtype: str = "float32"
     # Inference hot path: BatchNorm pre-folded into conv kernel/bias
     # (weights.fold.fold_variables); False for training. The Detector folds
     # automatically.

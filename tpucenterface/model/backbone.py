@@ -42,6 +42,7 @@ class MobileNetV2Backbone(nn.Module):
             bn_momentum=cfg.bn_momentum,
             dtype=dtype,
             folded=cfg.folded,
+            bn_dtype=jnp.dtype(cfg.bn_compute_dtype),
         )
         x = x.astype(dtype)
         if cfg.s2d_stem:

@@ -91,6 +91,9 @@ class ConvBN(nn.Module):
     bn_momentum: float = 0.9
     dtype: jnp.dtype = jnp.bfloat16
     folded: bool = False
+    # BatchNorm materialization dtype (training path); stats stay f32 inside
+    # flax regardless. See ModelConfig.bn_compute_dtype.
+    bn_dtype: jnp.dtype = jnp.float32
     # Optional explicit ((top,bottom),(left,right)) padding override; None
     # keeps the symmetric torch-parity default below.
     padding: object = None
@@ -138,9 +141,9 @@ class ConvBN(nn.Module):
             use_running_average=not train,
             momentum=self.bn_momentum,
             epsilon=self.bn_eps,
-            dtype=jnp.float32,
+            dtype=self.bn_dtype,
             name="bn",
-        )(x.astype(jnp.float32))
+        )(x.astype(self.bn_dtype))
         if self.act:
             x = _act(self.relu6)(x)
         return x.astype(self.dtype)
@@ -157,6 +160,7 @@ class InvertedResidual(nn.Module):
     bn_momentum: float = 0.9
     dtype: jnp.dtype = jnp.bfloat16
     folded: bool = False
+    bn_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -170,6 +174,7 @@ class InvertedResidual(nn.Module):
             bn_momentum=self.bn_momentum,
             dtype=self.dtype,
             folded=self.folded,
+            bn_dtype=self.bn_dtype,
         )
         if self.expand != 1:
             y = ConvBN(hidden, kernel=1, name="expand", **kw)(y, train)

@@ -40,6 +40,7 @@ class FPNLiteNeck(nn.Module):
             bn_momentum=cfg.bn_momentum,
             dtype=dtype,
             folded=cfg.folded,
+            bn_dtype=jnp.dtype(cfg.bn_compute_dtype),
         )
         strides = sorted(feats.keys(), reverse=True)  # [32, 16, 8, 4]
         c = cfg.fpn_channels
