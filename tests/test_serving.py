@@ -126,3 +126,30 @@ def test_detector_quantize_serving_mode(det):
         det.dequantize()
     back = det.detect(img, score_thresh=-1.0)
     np.testing.assert_allclose(back.scores, ref.scores, atol=1e-6)
+
+
+def test_router_mixed_sizes_match_direct(det):
+    from tpucenterface.runtime.serving import ServingRouter
+
+    rng = np.random.RandomState(11)
+    sizes = [(64, 64), (40, 60), (64, 64), (100, 30), (60, 40)]
+    imgs = [rng.randint(0, 255, s + (3,), np.uint8) for s in sizes]
+    with ServingRouter(det, device_batch=4, score_thresh=-1.0) as router:
+        futs = [router.submit(im) for im in imgs]
+        got = [f.result(timeout=120) for f in futs]
+        # one engine per distinct padded bucket (pad_to_bucket multiples)
+        assert len(router._engines) >= 1
+    for im, d in zip(imgs, got):
+        ref = det.detect(im, score_thresh=-1.0)
+        np.testing.assert_allclose(d.scores, ref.scores, atol=1e-5)
+        np.testing.assert_allclose(d.boxes, ref.boxes, atol=1e-3)
+
+
+def test_router_rejects_bad_shape(det):
+    from tpucenterface.runtime.serving import ServingRouter
+
+    with ServingRouter(det) as router:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            router.submit(np.zeros((64, 64), np.uint8))

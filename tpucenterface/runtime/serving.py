@@ -28,8 +28,10 @@ Two operating modes:
   fetch discipline.
 
 All requests in one engine share a single padded input shape (the engine is
-per-bucket, like the Detector's jit cache); mixed shapes belong in
-eval.batch_runner's bucketing layer above this one.
+per-bucket, like the Detector's jit cache); mixed-shape streams go through
+`ServingRouter`, which pads each image to its input bucket and routes to a
+per-bucket engine (the online counterpart of eval.batch_runner's offline
+bucketing).
 """
 
 from __future__ import annotations
@@ -305,3 +307,70 @@ class ServingEngine:
             self._finalize(*launched.popleft())
         for r in done:
             yield r.future.result()
+
+
+class ServingRouter:
+    """Multi-bucket front for ServingEngine: accepts images of ANY size.
+
+    The online counterpart of eval.batch_runner's offline bucketing
+    (BASELINE config #3's padded-resolution-bucket design): each incoming
+    image is zero-padded to its input-shape bucket host-side
+    (preprocess.pad_to_bucket, bounding the number of compiled executables),
+    then routed to a per-bucket ServingEngine, which coalesces same-bucket
+    requests into large device batches. Mixed-shape streams therefore cost
+    one executable per active bucket instead of one per distinct shape.
+    """
+
+    def __init__(self, detector: Detector, device_batch: int = 128, **kw):
+        self.det = detector
+        self.device_batch = device_batch
+        self.kw = kw
+        self._engines: dict = {}
+        self._lock = threading.Lock()
+
+    def _engine(self, padded_hw: Tuple[int, int]) -> ServingEngine:
+        with self._lock:
+            eng = self._engines.get(padded_hw)
+            if eng is None:
+                eng = ServingEngine(
+                    self.det, padded_hw, device_batch=self.device_batch,
+                    **self.kw,
+                )
+                self._engines[padded_hw] = eng
+            return eng
+
+    def submit(self, image: np.ndarray) -> Future:
+        """One HxWx3 uint8 image of any size -> Future[Detections]."""
+        from tpucenterface.preprocess import pad_to_bucket
+
+        if image.ndim != 3 or image.shape[2] != 3:
+            raise ValueError(f"expected HxWx3 image, got {image.shape}")
+        h, w = image.shape[:2]
+        padded = pad_to_bucket(image)
+        eng = self._engine(padded.shape[:2])
+        inner = eng.submit(
+            padded[None], np.array([[h, w]], np.int32)
+        )
+        out: Future = Future()
+
+        def unwrap(f: Future):
+            try:
+                out.set_result(f.result()[0])
+            except Exception as e:  # pragma: no cover - propagated error path
+                out.set_exception(e)
+
+        inner.add_done_callback(unwrap)
+        return out
+
+    def close(self) -> None:
+        with self._lock:
+            engines = list(self._engines.values())
+            self._engines.clear()
+        for eng in engines:
+            eng.close()
+
+    def __enter__(self) -> "ServingRouter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
