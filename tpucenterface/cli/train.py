@@ -22,6 +22,9 @@ def main(argv=None):
     p.add_argument("--n-devices", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--wh-log", action="store_true")
+    p.add_argument("--bf16-bn", action="store_true",
+                   help="bf16 BatchNorm activations (+26%% step throughput "
+                   "measured on v5e; stats stay f32 — see PERFORMANCE.md)")
     args = p.parse_args(argv)
 
     from tpucenterface.config import ModelConfig, TrainConfig
@@ -47,7 +50,9 @@ def main(argv=None):
 
     train(
         records,
-        model_cfg=ModelConfig(),
+        model_cfg=ModelConfig(
+            bn_compute_dtype="bfloat16" if args.bf16_bn else "float32"
+        ),
         train_cfg=tcfg,
         workdir=args.workdir,
         n_devices=args.n_devices,
