@@ -153,3 +153,21 @@ def test_router_rejects_bad_shape(det):
 
         with _pytest.raises(ValueError):
             router.submit(np.zeros((64, 64), np.uint8))
+
+
+def test_detector_quantize_int8_dw_variant(det):
+    """int8_dw=True (dw convs also int8): runs, loosely tracks float."""
+    rng = np.random.RandomState(4)
+    calib = rng.randint(0, 255, (4, *HW, 3), np.uint8)
+    img = rng.randint(0, 255, (*HW, 3), np.uint8)
+    ref = det.detect(img, score_thresh=-1.0)
+    det.quantize(calib_images=calib, int8_dw=True)
+    try:
+        assert det._quant.int8_dw
+        q = det.detect(img, score_thresh=-1.0)
+        assert np.isfinite(q.scores).all()
+        np.testing.assert_allclose(
+            np.sort(q.scores), np.sort(ref.scores), atol=0.1
+        )
+    finally:
+        det.dequantize()

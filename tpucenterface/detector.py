@@ -166,6 +166,7 @@ class Detector:
         calib_images: Optional[np.ndarray] = None,
         calib_batches: Optional[list] = None,
         size: Optional[int] = None,
+        int8_dw: bool = False,
     ) -> Dict[str, float]:
         """Switch this Detector to the W8A8 int8 forward (opt-in PTQ).
 
@@ -188,7 +189,7 @@ class Detector:
 
         if not self.config.model.folded:
             raise ValueError("quantize() requires folded inference weights")
-        eng = QuantEngine(self.variables, self.config.model)
+        eng = QuantEngine(self.variables, self.config.model, int8_dw=int8_dw)
         if calib_batches is not None:
             xs = [jnp.asarray(b) for b in calib_batches]
         elif calib_images is not None:

@@ -41,8 +41,18 @@ def _quantize_weight(k: jnp.ndarray):
 
 
 class QuantEngine:
-    def __init__(self, folded_variables: Dict[str, Any], cfg: ModelConfig):
+    def __init__(
+        self,
+        folded_variables: Dict[str, Any],
+        cfg: ModelConfig,
+        int8_dw: bool = False,
+    ):
+        """int8_dw: also quantize the depthwise convs (int8 x int8 -> int32
+        on the VPU) and chain expand->dw->project in int8 — halves the
+        traffic of the 6x-expanded tensors at a second activation-quant
+        accuracy cost. Measured ledger in PERFORMANCE.md."""
         self.cfg = cfg
+        self.int8_dw = int8_dw
         self.p = jax.tree.map(jnp.asarray, folded_variables["params"])
         if "fused" not in self.p.get("heads", {}):
             from tpucenterface.weights.fold import fuse_head_params
@@ -84,7 +94,7 @@ class QuantEngine:
         """
         kh = k.shape[0]
         pad = (kh - 1) // 2
-        quantize = mode == "quant" and groups == 1  # MXU ops only
+        quantize = mode == "quant" and (groups == 1 or self.int8_dw)
         if mode == "calibrate":
             amax = float(jnp.max(jnp.abs(x)))
             self._amax[tag] = max(self._amax.get(tag, 0.0), amax, 1e-6)
@@ -105,6 +115,7 @@ class QuantEngine:
                 (stride, stride),
                 [(pad, pad), (pad, pad)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups,
                 preferred_element_type=jnp.int32,
             )
             y = y.astype(jnp.float32) * (sx * sw) + b.astype(jnp.float32)
@@ -149,7 +160,8 @@ class QuantEngine:
             blk = bb[f"block_{i}"]
             z = y
             if t != 1:
-                z = cb(f"b{i}.expand", blk["expand"], z)
+                z = cb(f"b{i}.expand", blk["expand"], z,
+                       out_int8=f"b{i}.dw" if self.int8_dw else None)
             ce = z.shape[-1]
             # dw emits int8 with the project's scale from its own epilogue:
             # kills the standalone quantize pass on the 6x-expanded tensor
