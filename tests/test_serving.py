@@ -171,3 +171,34 @@ def test_detector_quantize_int8_dw_variant(det):
         )
     finally:
         det.dequantize()
+
+
+def test_async_coalesce_never_exceeds_device_batch(det):
+    """Overshooting requests are carried to the NEXT group, so every launch
+    reuses the single compiled device_batch executable (review finding)."""
+    eng = ServingEngine(det, HW, device_batch=8, score_thresh=-1.0)
+    launches = []
+    orig = eng._fn
+
+    def spy(batch, **kw):
+        launches.append(batch)
+        return orig(batch, **kw)
+
+    eng._fn = spy
+    with eng:
+        futs = [
+            eng.submit(r) for r in _requests(5, 3, seed=9)
+        ]  # 15 imgs, bs3 each: 3+3 carry 3+3 carry 3
+        for f in futs:
+            f.result(timeout=120)
+    assert set(launches) == {8}, launches
+
+
+def test_submit_after_close_raises_router(det):
+    from tpucenterface.runtime.serving import ServingRouter
+
+    router = ServingRouter(det, device_batch=4, score_thresh=-1.0)
+    router.close()
+    with pytest.raises(RuntimeError):
+        router.submit(np.zeros((*HW, 3), np.uint8))
+    router.close()  # idempotent

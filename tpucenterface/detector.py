@@ -104,6 +104,11 @@ class Detector:
             self._engine = PlanarEngine(self.variables, self.config.model)
         self._quant = None  # set by quantize(): opt-in W8A8 serving forward
         self._fn_cache: Dict[Tuple, Any] = {}
+        # get-or-build on the jit cache is check-then-insert; serialize it so
+        # concurrent serving worker threads can't trace the same key twice
+        import threading
+
+        self._fn_lock = threading.Lock()
 
     # ------------------------------------------------------------------ #
     # weights
@@ -184,6 +189,12 @@ class Detector:
         the device-side letterbox into the serving distribution — or
         pre-normalized arrays via `calib_batches`. Returns the per-conv
         activation scales.
+
+        Concurrency: quantize()/dequantize() swap the forward for
+        SUBSEQUENT program builds; launches already in flight keep their
+        compiled precision. Don't flip modes mid-stream on a Detector that
+        live ServingEngines are using unless mixed-precision results across
+        the transition are acceptable.
         """
         from tpucenterface.quant.engine import QuantEngine
 
@@ -218,6 +229,38 @@ class Detector:
             self._quant = None
             self._fn_cache.clear()
 
+    def _identity_for(self, padded_hw, size: int, hws) -> bool:
+        """True when every image in the call is exactly the model size, so
+        the identity-preprocess program applies (letterbox == scale 1/pad 0;
+        PreprocessConfig.identity_fast_path). Single point of truth for the
+        dispatch predicate used by detect/detect_batch/ServingEngine."""
+        return (
+            self.config.preprocess.identity_fast_path
+            and tuple(padded_hw) == (size, size)
+            and bool((np.asarray(hws) == size).all())
+        )
+
+    def results_to_detections(
+        self, res, thresh: float, lo: int = 0, hi: Optional[int] = None
+    ) -> List[Detections]:
+        """Split a fused-program result tuple into per-image `Detections`
+        (threshold applied); shared by detect_batch and the serving path."""
+        boxes = np.asarray(res[0])
+        scores = np.asarray(res[1])
+        lms = np.asarray(res[2]) if len(res) == 3 else None
+        hi = boxes.shape[0] if hi is None else hi
+        out: List[Detections] = []
+        for i in range(lo, hi):
+            keep = scores[i] >= thresh
+            out.append(
+                Detections(
+                    boxes[i][keep],
+                    scores[i][keep],
+                    lms[i][keep] if lms is not None else None,
+                )
+            )
+        return out
+
     def _single_fn(self, padded_hw: Tuple[int, int], size: int, identity: bool = False):
         key = ("single", padded_hw, size, identity)
         if key not in self._fn_cache:
@@ -245,7 +288,8 @@ class Detector:
                     )
                 return boxes, scores[0]
 
-            self._fn_cache[key] = run
+            with self._fn_lock:
+                self._fn_cache.setdefault(key, run)
         return self._fn_cache[key]
 
     def _batch_fn(
@@ -281,7 +325,8 @@ class Detector:
                     )
                 return boxes, scores
 
-            self._fn_cache[key] = run
+            with self._fn_lock:
+                self._fn_cache.setdefault(key, run)
         return self._fn_cache[key]
 
     def _batch_flip_fn(self, batch: int, padded_hw: Tuple[int, int], size: int):
@@ -322,7 +367,8 @@ class Detector:
                 )
                 return all_boxes, all_scores
 
-            self._fn_cache[key] = run
+            with self._fn_lock:
+                self._fn_cache.setdefault(key, run)
         return self._fn_cache[key]
 
     # ------------------------------------------------------------------ #
@@ -351,11 +397,7 @@ class Detector:
         padded = pad_to_bucket(image)
         # pre-sized input: the letterbox is scale=1/pad=0, dispatch to the
         # identity-preprocess program (PreprocessConfig.identity_fast_path)
-        identity = (
-            self.config.preprocess.identity_fast_path
-            and padded.shape[:2] == (size, size)
-            and (h, w) == (size, size)
-        )
+        identity = self._identity_for(padded.shape[:2], size, (h, w))
         fn = self._single_fn(padded.shape[:2], size, identity=identity)
         out = fn(jnp.asarray(padded), jnp.array([h, w], jnp.int32))
         boxes = np.asarray(out[0])
@@ -380,27 +422,10 @@ class Detector:
         b = images.shape[0]
         if hws is None:
             hws = np.tile(np.array(images.shape[1:3], np.int32), (b, 1))
-        identity = (
-            self.config.preprocess.identity_fast_path
-            and images.shape[1:3] == (size, size)
-            and bool((np.asarray(hws) == size).all())
-        )
+        identity = self._identity_for(images.shape[1:3], size, hws)
         fn = self._batch_fn(b, images.shape[1:3], size, identity=identity)
         res = fn(jnp.asarray(images), jnp.asarray(hws))
-        boxes = np.asarray(res[0])
-        scores = np.asarray(res[1])
-        lms = np.asarray(res[2]) if len(res) == 3 else None
-        out: List[Detections] = []
-        for i in range(b):
-            keep = scores[i] >= thresh
-            out.append(
-                Detections(
-                    boxes[i][keep],
-                    scores[i][keep],
-                    lms[i][keep] if lms is not None else None,
-                )
-            )
-        return out
+        return self.results_to_detections(res, thresh)
 
     def warmup(self, shapes=((640, 640),), size: Optional[int] = None) -> None:
         """Pre-compile the jit programs for the given padded input shapes."""

@@ -96,6 +96,7 @@ class ServingEngine:
         )
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
+        self._carry: Optional[_Request] = None  # overflow from _coalesce
         self._closed = False
         self._lock = threading.Lock()
 
@@ -114,24 +115,28 @@ class ServingEngine:
 
         total = sum(r.n for r in group)
         # pad the coalesced batch up to device_batch so one executable
-        # serves every group (no recompiles for ragged tails)
+        # serves every group (no recompiles for ragged tails; a single
+        # request larger than device_batch runs at its own size)
         b = self.device_batch if total <= self.device_batch else total
-        imgs = np.zeros((b, *self.padded_hw, 3), np.uint8)
         # pre-sized fast path: if every real image in the group is exactly
         # the model size, the whole launch can use the identity-preprocess
         # program — pad rows then also carry hw=size so one executable fits
-        identity = (
-            self.det.config.preprocess.identity_fast_path
-            and self.padded_hw == (self.size, self.size)
-            and all((r.hws == self.size).all() for r in group)
+        identity = self.det._identity_for(
+            self.padded_hw, self.size,
+            np.concatenate([r.hws for r in group]),
         )
-        fill = self.size if identity else 1
-        hws = np.full((b, 2), fill, np.int32)
-        o = 0
-        for r in group:
-            imgs[o : o + r.n] = r.images
-            hws[o : o + r.n] = r.hws
-            o += r.n
+        if len(group) == 1 and group[0].n == b:
+            # request already spans the device batch: no assembly copy
+            imgs, hws = group[0].images, group[0].hws
+        else:
+            imgs = np.zeros((b, *self.padded_hw, 3), np.uint8)
+            fill = self.size if identity else 1
+            hws = np.full((b, 2), fill, np.int32)
+            o = 0
+            for r in group:
+                imgs[o : o + r.n] = r.images
+                hws[o : o + r.n] = r.hws
+                o += r.n
         try:
             res = self._fn(b, identity=identity)(
                 jnp.asarray(imgs), jnp.asarray(hws)
@@ -148,27 +153,21 @@ class ServingEngine:
         if res is None:
             return
         try:
-            boxes = np.asarray(res[0])
-            scores = np.asarray(res[1])
-            lms = np.asarray(res[2]) if len(res) == 3 else None
+            o = 0
+            split: List[List[Detections]] = []
+            for r in group:
+                split.append(
+                    self.det.results_to_detections(
+                        res, self.thresh, lo=o, hi=o + r.n
+                    )
+                )
+                o += r.n
         except Exception as e:
             for r in group:
                 if not r.future.cancelled():
                     r.future.set_exception(e)
             return
-        o = 0
-        for r in group:
-            out: List[Detections] = []
-            for i in range(o, o + r.n):
-                keep = scores[i] >= self.thresh
-                out.append(
-                    Detections(
-                        boxes[i][keep],
-                        scores[i][keep],
-                        lms[i][keep] if lms is not None else None,
-                    )
-                )
-            o += r.n
+        for r, out in zip(group, split):
             if not r.future.cancelled():
                 r.future.set_result(out)
 
@@ -183,6 +182,11 @@ class ServingEngine:
             if r is None:  # shutdown sentinel: put it back for the loop
                 self._queue.put(None)
                 break
+            if n + r.n > self.device_batch:
+                # would overshoot the single compiled executable: hold it
+                # for the next group instead of compiling a new batch size
+                self._carry = r
+                break
             group.append(r)
             n += r.n
         return group
@@ -190,7 +194,10 @@ class ServingEngine:
     def _worker_loop(self) -> None:
         pending: collections.deque = collections.deque()
         while True:
-            r = self._queue.get()
+            if self._carry is not None:
+                r, self._carry = self._carry, None
+            else:
+                r = self._queue.get()
             if r is None:
                 while pending:
                     self._finalize(*pending.popleft())
@@ -215,8 +222,6 @@ class ServingEngine:
         Requests queued while a launch is in flight coalesce into the next
         launch (up to `device_batch` images per program).
         """
-        if self._closed:
-            raise RuntimeError("ServingEngine is closed")
         if images.ndim == 3:
             images = images[None]
         if images.shape[1:3] != self.padded_hw:
@@ -229,17 +234,25 @@ class ServingEngine:
                 np.array(self.padded_hw, np.int32)[None], (images.shape[0], 1)
             )
         req = _Request(images, np.asarray(hws, np.int32))
+        # enqueue under the lock: close() also holds it, so a request can
+        # never slip in after the shutdown sentinel drained (which would
+        # leave its Future unresolved forever)
         with self._lock:
+            if self._closed:
+                raise RuntimeError("ServingEngine is closed")
             if self._worker is None:
                 self._worker = threading.Thread(
                     target=self._worker_loop, daemon=True
                 )
                 self._worker.start()
-        self._queue.put(req)
+            self._queue.put(req)
         return req.future
 
     def close(self) -> None:
-        """Drain and stop the worker (idempotent)."""
+        """Drain and stop the worker (idempotent).
+
+        Holding the lock through the join is safe (the worker never takes
+        it) and guarantees no submit() interleaves with the shutdown."""
         with self._lock:
             if self._closed:
                 return
@@ -326,10 +339,13 @@ class ServingRouter:
         self.device_batch = device_batch
         self.kw = kw
         self._engines: dict = {}
+        self._closed = False
         self._lock = threading.Lock()
 
     def _engine(self, padded_hw: Tuple[int, int]) -> ServingEngine:
         with self._lock:
+            if self._closed:
+                raise RuntimeError("ServingRouter is closed")
             eng = self._engines.get(padded_hw)
             if eng is None:
                 eng = ServingEngine(
@@ -364,6 +380,9 @@ class ServingRouter:
 
     def close(self) -> None:
         with self._lock:
+            if self._closed:
+                return
+            self._closed = True
             engines = list(self._engines.values())
             self._engines.clear()
         for eng in engines:
