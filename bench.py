@@ -74,17 +74,23 @@ def main():
     # opt-in W8A8 serving forward (Detector.quantize): loses at bs32, wins
     # at bs>=128 where the int8 MXU rate dominates the unfused q/dq chains
     # (measured ledger in PERFORMANCE.md; accuracy ~1% of head-map range,
-    # NOT the parity path)
-    det.quantize(calib_images=imgs[:8])
-    fn128q = det._batch_fn(dev_b, (side, side), side)
-    b128, s128 = fn128q(j_imgs128, j_hws128)
-    float(np.asarray(s128).sum())
-    t0 = time.perf_counter()
-    for _ in range(iters128):
+    # NOT the parity path). Guarded: the headline JSON must survive an int8
+    # failure on any backend.
+    serving_int8_ips = None
+    try:
+        det.quantize(calib_images=imgs[:8])
+        fn128q = det._batch_fn(dev_b, (side, side), side)
         b128, s128 = fn128q(j_imgs128, j_hws128)
-    float(np.asarray(s128).sum())
-    serving_int8_ips = dev_b * iters128 / (time.perf_counter() - t0)
-    det.dequantize()
+        float(np.asarray(s128).sum())
+        t0 = time.perf_counter()
+        for _ in range(iters128):
+            b128, s128 = fn128q(j_imgs128, j_hws128)
+        float(np.asarray(s128).sum())
+        serving_int8_ips = dev_b * iters128 / (time.perf_counter() - t0)
+    except Exception as e:
+        print(f"# int8 serving measurement skipped: {e}", file=sys.stderr)
+    finally:
+        det.dequantize()
 
     print(
         json.dumps(
@@ -94,7 +100,11 @@ def main():
                 "unit": "img/s",
                 "vs_baseline": round(ips / 5000.0, 4),
                 "serving_coalesced_img_s": round(serving_ips, 2),
-                "serving_int8_img_s": round(serving_int8_ips, 2),
+                "serving_int8_img_s": (
+                    round(serving_int8_ips, 2)
+                    if serving_int8_ips is not None
+                    else None
+                ),
                 "serving_note": "bs32 request stream dynamically coalesced "
                 "to bs128 device programs (runtime/serving.py); same fused "
                 "pipeline, measured with the same FIFO barrier; int8 = "
