@@ -219,3 +219,40 @@ def test_bf16_bn_training_matches_f32():
     assert abs(losses["bfloat16"] - losses["float32"]) < 0.02 * abs(
         losses["float32"]
     ), losses
+
+
+def test_loader_workers_deterministic_and_shaped(tmp_path):
+    """workers>0 loader: bounded-window thread pool, deterministic stream."""
+    import cv2
+    import numpy as np
+    from tpucenterface.config import TrainConfig
+    from tpucenterface.data.loader import batch_iterator
+    from tpucenterface.data.wider import WiderImage
+
+    rng = np.random.RandomState(0)
+    records = []
+    for i in range(10):
+        path = str(tmp_path / f"im{i}.jpg")
+        cv2.imwrite(path, rng.randint(0, 255, (80, 100, 3), np.uint8))
+        boxes = np.array([[10.0, 10.0, 20.0, 30.0]])  # x,y,w,h
+        records.append(
+            WiderImage(
+                path=path,
+                rel_path=f"ev/im{i}.jpg",
+                boxes=boxes,
+                invalid=np.zeros(1, bool),
+            )
+        )
+    cfg = TrainConfig(input_size=64, batch_size=4, max_objs=8)
+
+    def take(workers):
+        it = batch_iterator(records, cfg, seed=3, epochs=1, workers=workers)
+        return list(it)
+
+    a = take(2)
+    b = take(2)
+    assert len(a) == 2  # 10 imgs, bs4, drop_last
+    for ba, bb in zip(a, b):
+        assert ba["image"].shape == (4, 64, 64, 3)
+        np.testing.assert_array_equal(ba["image"], bb["image"])
+        np.testing.assert_array_equal(ba["hm"], bb["hm"])

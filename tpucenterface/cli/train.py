@@ -22,6 +22,8 @@ def main(argv=None):
     p.add_argument("--n-devices", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--wh-log", action="store_true")
+    p.add_argument("--workers", type=int, default=4,
+                   help="loader threads decoding/augmenting ahead")
     p.add_argument("--bf16-bn", action="store_true",
                    help="bf16 BatchNorm activations (+26%% step throughput "
                    "measured on v5e; stats stay f32 — see PERFORMANCE.md)")
@@ -60,6 +62,7 @@ def main(argv=None):
         resume=not args.no_resume,
         log_fn=log,
         wh_log=args.wh_log,
+        loader_workers=args.workers,
     )
 
 

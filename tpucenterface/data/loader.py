@@ -48,24 +48,79 @@ def batch_iterator(
     epochs: Optional[int] = None,
     drop_last: bool = True,
     wh_log: bool = False,
+    workers: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Shuffled epoch iterator yielding stacked numpy batches."""
+    """Shuffled epoch iterator yielding stacked numpy batches.
+
+    workers > 0 decodes/augments samples on a thread pool — the DataLoader-
+    worker role in the reference's pipeline. cv2's decode/warp release the
+    GIL, so threads parallelize the host work without the fork hazards
+    multiprocessing has under a live JAX/TPU client. Submission is bounded
+    (a ~2-batch window) so decoded canvases never pile up ahead of the
+    consumer, and results are collected in submission order with per-sample
+    RandomState(seed, epoch, idx) streams — the stream is deterministic for
+    a given (seed, workers>0) regardless of thread timing.
+    """
     rng = np.random.RandomState(seed)
     epoch = 0
-    while epochs is None or epoch < epochs:
-        order = rng.permutation(len(records))
-        buf: List[Dict[str, np.ndarray]] = []
-        for idx in order:
-            s = build_sample(records[idx], cfg, rng, wh_log=wh_log)
-            if s is None:
-                continue
-            buf.append(s)
-            if len(buf) == cfg.batch_size:
+    if workers <= 0:
+        while epochs is None or epoch < epochs:
+            order = rng.permutation(len(records))
+            buf: List[Dict[str, np.ndarray]] = []
+            for idx in order:
+                s = build_sample(records[idx], cfg, rng, wh_log=wh_log)
+                if s is None:
+                    continue
+                buf.append(s)
+                if len(buf) == cfg.batch_size:
+                    yield _stack(buf)
+                    buf = []
+            if buf and not drop_last:
                 yield _stack(buf)
-                buf = []
-        if buf and not drop_last:
-            yield _stack(buf)
-        epoch += 1
+            epoch += 1
+        return
+
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    window = max(2 * cfg.batch_size, 2 * workers)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        while epochs is None or epoch < epochs:
+            order = rng.permutation(len(records))
+
+            def submit(idx, _epoch=epoch):
+                sseed = (seed * 1_000_003 + _epoch * 19_997 + int(idx)) % (
+                    2**31 - 1
+                )
+                return pool.submit(
+                    build_sample,
+                    records[idx],
+                    cfg,
+                    np.random.RandomState(sseed),
+                    wh_log=wh_log,
+                )
+
+            pending: collections.deque = collections.deque()
+            buf = []
+            it = iter(order)
+            for idx in it:
+                pending.append(submit(idx))
+                if len(pending) >= window:
+                    break
+            while pending:
+                s = pending.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(submit(nxt))
+                if s is None:
+                    continue
+                buf.append(s)
+                if len(buf) == cfg.batch_size:
+                    yield _stack(buf)
+                    buf = []
+            if buf and not drop_last:
+                yield _stack(buf)
+            epoch += 1
 
 
 def _stack(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:

@@ -78,6 +78,7 @@ def train(
     log_fn: Callable[[int, Dict[str, float]], None] = None,
     wh_log: bool = False,
     seed: int = 0,
+    loader_workers: int = 4,
 ) -> TrainState:
     """Run (or resume) training over WIDER records; returns the final state."""
     os.makedirs(workdir, exist_ok=True)
@@ -104,7 +105,9 @@ def train(
     # pipeline prefetch_to_device sets up. Metrics (device values) are only
     # materialized at log_every/ckpt boundaries.
     start_step = step = int(state.step)
-    batches = batch_iterator(records, train_cfg, seed=seed, wh_log=wh_log)
+    batches = batch_iterator(
+        records, train_cfg, seed=seed, wh_log=wh_log, workers=loader_workers
+    )
     t0 = time.perf_counter()
     for batch in prefetch_to_device(batches, size=2, sharding=batch_sharding(mesh)):
         if step >= total_steps:
