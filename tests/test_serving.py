@@ -202,3 +202,9 @@ def test_submit_after_close_raises_router(det):
     with pytest.raises(RuntimeError):
         router.submit(np.zeros((*HW, 3), np.uint8))
     router.close()  # idempotent
+
+
+def test_submit_rejects_non_uint8(det):
+    with ServingEngine(det, HW, device_batch=4) as eng:
+        with pytest.raises(ValueError):
+            eng.submit(np.zeros((1, *HW, 3), np.float32))

@@ -23,7 +23,9 @@ def main(argv=None):
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--wh-log", action="store_true")
     p.add_argument("--workers", type=int, default=4,
-                   help="loader threads decoding/augmenting ahead")
+                   help="loader threads decoding/augmenting ahead; NOTE: "
+                   "workers>0 uses per-sample RNG streams, so the sample "
+                   "order/augments differ from --workers 0 at equal seed")
     p.add_argument("--bf16-bn", action="store_true",
                    help="bf16 BatchNorm activations (+26%% step throughput "
                    "measured on v5e; stats stay f32 — see PERFORMANCE.md)")

@@ -62,13 +62,57 @@ def batch_iterator(
     a given (seed, workers>0) regardless of thread timing.
     """
     rng = np.random.RandomState(seed)
-    epoch = 0
-    if workers <= 0:
+    pool = None
+    if workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=workers)
+
+    def samples_sequential(order):
+        for idx in order:
+            yield build_sample(records[idx], cfg, rng, wh_log=wh_log)
+
+    def samples_pooled(order, epoch):
+        import collections
+
+        window = max(2 * cfg.batch_size, 2 * workers)
+
+        def submit(idx):
+            sseed = (seed * 1_000_003 + epoch * 19_997 + int(idx)) % (
+                2**31 - 1
+            )
+            return pool.submit(
+                build_sample,
+                records[idx],
+                cfg,
+                np.random.RandomState(sseed),
+                wh_log=wh_log,
+            )
+
+        pending: "collections.deque" = collections.deque()
+        it = iter(order)
+        for idx in it:
+            pending.append(submit(idx))
+            if len(pending) >= window:
+                break
+        while pending:
+            s = pending.popleft().result()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append(submit(nxt))
+            yield s
+
+    try:
+        epoch = 0
         while epochs is None or epoch < epochs:
             order = rng.permutation(len(records))
+            samples = (
+                samples_pooled(order, epoch)
+                if pool is not None
+                else samples_sequential(order)
+            )
             buf: List[Dict[str, np.ndarray]] = []
-            for idx in order:
-                s = build_sample(records[idx], cfg, rng, wh_log=wh_log)
+            for s in samples:
                 if s is None:
                     continue
                 buf.append(s)
@@ -78,49 +122,9 @@ def batch_iterator(
             if buf and not drop_last:
                 yield _stack(buf)
             epoch += 1
-        return
-
-    import collections
-    from concurrent.futures import ThreadPoolExecutor
-
-    window = max(2 * cfg.batch_size, 2 * workers)
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        while epochs is None or epoch < epochs:
-            order = rng.permutation(len(records))
-
-            def submit(idx, _epoch=epoch):
-                sseed = (seed * 1_000_003 + _epoch * 19_997 + int(idx)) % (
-                    2**31 - 1
-                )
-                return pool.submit(
-                    build_sample,
-                    records[idx],
-                    cfg,
-                    np.random.RandomState(sseed),
-                    wh_log=wh_log,
-                )
-
-            pending: collections.deque = collections.deque()
-            buf = []
-            it = iter(order)
-            for idx in it:
-                pending.append(submit(idx))
-                if len(pending) >= window:
-                    break
-            while pending:
-                s = pending.popleft().result()
-                nxt = next(it, None)
-                if nxt is not None:
-                    pending.append(submit(nxt))
-                if s is None:
-                    continue
-                buf.append(s)
-                if len(buf) == cfg.batch_size:
-                    yield _stack(buf)
-                    buf = []
-            if buf and not drop_last:
-                yield _stack(buf)
-            epoch += 1
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def _stack(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:

@@ -219,15 +219,17 @@ class Detector:
         else:
             raise ValueError("pass calib_images (uint8) or calib_batches")
         scales = eng.calibrate(xs)
-        self._quant = eng
-        self._fn_cache.clear()  # programs must rebuild on the int8 forward
+        with self._fn_lock:
+            self._quant = eng
+            self._fn_cache.clear()  # programs rebuild on the int8 forward
         return scales
 
     def dequantize(self) -> None:
         """Return to the default bf16 forward."""
         if self._quant is not None:
-            self._quant = None
-            self._fn_cache.clear()
+            with self._fn_lock:
+                self._quant = None
+                self._fn_cache.clear()
 
     def _identity_for(self, padded_hw, size: int, hws) -> bool:
         """True when every image in the call is exactly the model size, so
@@ -263,7 +265,9 @@ class Detector:
 
     def _single_fn(self, padded_hw: Tuple[int, int], size: int, identity: bool = False):
         key = ("single", padded_hw, size, identity)
-        if key not in self._fn_cache:
+        with self._fn_lock:
+            fn = self._fn_cache.get(key)
+        if fn is None:
 
             @jax.jit
             def run(img_u8: jnp.ndarray, hw: jnp.ndarray):
@@ -289,8 +293,8 @@ class Detector:
                 return boxes, scores[0]
 
             with self._fn_lock:
-                self._fn_cache.setdefault(key, run)
-        return self._fn_cache[key]
+                fn = self._fn_cache.setdefault(key, run)
+        return fn
 
     def _batch_fn(
         self,
@@ -300,7 +304,9 @@ class Detector:
         identity: bool = False,
     ):
         key = ("batch", batch, padded_hw, size, identity)
-        if key not in self._fn_cache:
+        with self._fn_lock:
+            fn = self._fn_cache.get(key)
+        if fn is None:
 
             @jax.jit
             def run(imgs_u8: jnp.ndarray, hws: jnp.ndarray):
@@ -326,8 +332,8 @@ class Detector:
                 return boxes, scores
 
             with self._fn_lock:
-                self._fn_cache.setdefault(key, run)
-        return self._fn_cache[key]
+                fn = self._fn_cache.setdefault(key, run)
+        return fn
 
     def _batch_flip_fn(self, batch: int, padded_hw: Tuple[int, int], size: int):
         """Batched detect computing the image AND its horizontal mirror in ONE
@@ -341,7 +347,9 @@ class Detector:
         """
         assert self.config.preprocess.center, "device flip needs centered letterbox"
         key = ("batch_flip", batch, padded_hw, size)
-        if key not in self._fn_cache:
+        with self._fn_lock:
+            fn = self._fn_cache.get(key)
+        if fn is None:
 
             @jax.jit
             def run(imgs_u8: jnp.ndarray, hws: jnp.ndarray):
@@ -368,8 +376,8 @@ class Detector:
                 return all_boxes, all_scores
 
             with self._fn_lock:
-                self._fn_cache.setdefault(key, run)
-        return self._fn_cache[key]
+                fn = self._fn_cache.setdefault(key, run)
+        return fn
 
     # ------------------------------------------------------------------ #
     # public API

@@ -205,8 +205,8 @@ class ServingEngine:
             pending.append(self._launch(self._coalesce(r)))
             while len(pending) > self.inflight:
                 self._finalize(*pending.popleft())
-            # idle: no queued work -> drain the pipeline
-            if self._queue.empty():
+            # idle: no queued OR carried work -> drain the pipeline
+            if self._carry is None and self._queue.empty():
                 while pending:
                     self._finalize(*pending.popleft())
 
@@ -224,6 +224,8 @@ class ServingEngine:
         """
         if images.ndim == 3:
             images = images[None]
+        if images.dtype != np.uint8:
+            raise ValueError(f"requests must be uint8, got {images.dtype}")
         if images.shape[1:3] != self.padded_hw:
             raise ValueError(
                 f"request shape {images.shape[1:3]} != engine bucket "
@@ -298,6 +300,8 @@ class ServingEngine:
                     self._finalize(*launched.popleft())
 
         for images, hws in batches:
+            if images.dtype != np.uint8:
+                raise ValueError(f"requests must be uint8, got {images.dtype}")
             if images.shape[1:3] != self.padded_hw:
                 raise ValueError(
                     f"request shape {images.shape[1:3]} != bucket {self.padded_hw}"

@@ -78,7 +78,10 @@ def train(
     log_fn: Callable[[int, Dict[str, float]], None] = None,
     wh_log: bool = False,
     seed: int = 0,
-    loader_workers: int = 4,
+    # 0 preserves the exact sequential sample stream for a given seed
+    # (workers>0 uses per-sample RNG streams — different, documented in
+    # data.loader); the CLI passes --workers explicitly.
+    loader_workers: int = 0,
 ) -> TrainState:
     """Run (or resume) training over WIDER records; returns the final state."""
     os.makedirs(workdir, exist_ok=True)
