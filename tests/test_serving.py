@@ -208,3 +208,16 @@ def test_submit_rejects_non_uint8(det):
     with ServingEngine(det, HW, device_batch=4) as eng:
         with pytest.raises(ValueError):
             eng.submit(np.zeros((1, *HW, 3), np.float32))
+
+
+def test_engine_stats_populated(det):
+    eng = ServingEngine(det, HW, device_batch=8, score_thresh=-1.0)
+    with eng:
+        futs = [eng.submit(r) for r in _requests(4, 4, seed=12)]
+        for f in futs:
+            f.result(timeout=120)
+    s = eng.stats()
+    assert s["requests"] == 4 and s["images"] == 16
+    assert s["launches"] >= 2  # 16 images / device_batch 8
+    assert s["latency_ms_p50"] is not None and s["latency_ms_p50"] > 0
+    assert s["latency_ms_max"] >= s["latency_ms_p50"]

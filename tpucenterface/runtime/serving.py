@@ -39,6 +39,7 @@ from __future__ import annotations
 import collections
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Any, Iterable, Iterator, List, Optional, Sequence, Tuple
 
@@ -48,13 +49,14 @@ from tpucenterface.detector import Detections, Detector
 
 
 class _Request:
-    __slots__ = ("images", "hws", "future", "n")
+    __slots__ = ("images", "hws", "future", "n", "t_submit")
 
     def __init__(self, images: np.ndarray, hws: np.ndarray):
         self.images = images
         self.hws = hws
         self.n = images.shape[0]
         self.future: Future = Future()
+        self.t_submit = time.perf_counter()
 
 
 class ServingEngine:
@@ -99,6 +101,12 @@ class ServingEngine:
         self._carry: Optional[_Request] = None  # overflow from _coalesce
         self._closed = False
         self._lock = threading.Lock()
+        # observability: per-request submit->result latency (last 1024),
+        # request/image/launch counters
+        self._lat_ms: collections.deque = collections.deque(maxlen=1024)
+        self._n_requests = 0
+        self._n_images = 0
+        self._n_launches = 0
 
     # ------------------------------------------------------------------ #
     # core: launch one coalesced group / fetch its results
@@ -138,6 +146,7 @@ class ServingEngine:
                 hws[o : o + r.n] = r.hws
                 o += r.n
         try:
+            self._n_launches += 1
             res = self._fn(b, identity=identity)(
                 jnp.asarray(imgs), jnp.asarray(hws)
             )
@@ -167,7 +176,11 @@ class ServingEngine:
                 if not r.future.cancelled():
                     r.future.set_exception(e)
             return
+        now = time.perf_counter()
         for r, out in zip(group, split):
+            self._lat_ms.append((now - r.t_submit) * 1e3)
+            self._n_requests += 1
+            self._n_images += r.n
             if not r.future.cancelled():
                 r.future.set_result(out)
 
@@ -249,6 +262,29 @@ class ServingEngine:
                 self._worker.start()
             self._queue.put(req)
         return req.future
+
+    def stats(self) -> dict:
+        """Serving counters + request-latency percentiles (ms) over the
+        last 1024 completed requests (submit -> result, includes queueing,
+        coalescing, device time, and fetch)."""
+        lat = sorted(self._lat_ms)
+
+        def pct(p):
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))], 2) if lat else None
+
+        return {
+            "requests": self._n_requests,
+            "images": self._n_images,
+            "launches": self._n_launches,
+            "mean_images_per_launch": (
+                round(self._n_images / self._n_launches, 1)
+                if self._n_launches
+                else None
+            ),
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p95": pct(0.95),
+            "latency_ms_max": round(lat[-1], 2) if lat else None,
+        }
 
     def close(self) -> None:
         """Drain and stop the worker (idempotent).
