@@ -37,3 +37,57 @@ def test_draw_detections_shapes():
     )
     assert out.shape == frame.shape
     assert out.sum() > 0  # something was drawn
+
+
+def test_multi_stream_pipeline_matches_direct():
+    """3 synthetic streams coalesce through one engine; per-stream order and
+    per-frame results match direct detect()."""
+    import jax
+    import numpy as np
+
+    from tpucenterface.config import DetectorConfig, ModelConfig
+    from tpucenterface.detector import Detector
+    from tpucenterface.runtime.video import MultiStreamPipeline
+
+    cfg = DetectorConfig(
+        model=ModelConfig(compute_dtype="float32"), default_size=64
+    )
+    det = Detector(config=cfg, rng=jax.random.PRNGKey(2))
+    rng = np.random.RandomState(6)
+    streams = [
+        [rng.randint(0, 255, (50, 60, 3), np.uint8) for _ in range(4)]
+        for _ in range(3)
+    ]
+    pipe = MultiStreamPipeline(det, n_streams=3, score_thresh=-1.0)
+    per_stream = {0: [], 1: [], 2: []}
+    for si, frame, dets in pipe.run(streams):
+        per_stream[si].append((frame, dets))
+    for si, items in per_stream.items():
+        assert len(items) == 4
+        for (frame, dets), orig in zip(items, streams[si]):
+            np.testing.assert_array_equal(frame, orig)  # order preserved
+            ref = det.detect(orig, score_thresh=-1.0)
+            np.testing.assert_allclose(dets.scores, ref.scores, atol=1e-5)
+            np.testing.assert_allclose(dets.boxes, ref.boxes, atol=1e-3)
+
+
+def test_multi_stream_rejects_mixed_buckets():
+    import jax
+    import numpy as np
+    import pytest
+
+    from tpucenterface.config import DetectorConfig, ModelConfig
+    from tpucenterface.detector import Detector
+    from tpucenterface.runtime.video import MultiStreamPipeline
+
+    cfg = DetectorConfig(
+        model=ModelConfig(compute_dtype="float32"), default_size=64
+    )
+    det = Detector(config=cfg, rng=jax.random.PRNGKey(2))
+    streams = [
+        [np.zeros((50, 60, 3), np.uint8)],
+        [np.zeros((200, 60, 3), np.uint8)],  # different pad bucket
+    ]
+    pipe = MultiStreamPipeline(det, n_streams=2, score_thresh=-1.0)
+    with pytest.raises(ValueError):
+        list(pipe.run(streams))

