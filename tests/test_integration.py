@@ -122,3 +122,23 @@ def test_train_detect_eval_loop(tmp_path):
     ap = evaluate_detections(dets, gts, keeps)
     assert hits >= 6, f"detector found {hits}/10 synthetic faces (IoU>=0.5)"
     assert ap >= 0.4, f"AP {ap}"
+
+    # Task-level accuracy of the opt-in W8A8 serving forward on a TRAINED
+    # model: the int8 AP must track the float AP (quantifies the PTQ cost
+    # at the metric that matters, not just head-map deltas).
+    calib = np.stack(
+        [_synth_image(np.random.RandomState(2000 + i))[0] for i in range(8)]
+    )
+    det.quantize(calib_images=calib)
+    try:
+        dets_q = []
+        for i in range(10):
+            img, boxes = _synth_image(np.random.RandomState(1000 + i))
+            b, s = det.detect(img, score_thresh=0.05)[:2]
+            dets_q.append(
+                np.concatenate([b.reshape(-1, 4), s.reshape(-1, 1)], axis=1)
+            )
+        ap_q = evaluate_detections(dets_q, gts, keeps)
+    finally:
+        det.dequantize()
+    assert ap_q >= ap - 0.1, f"int8 AP {ap_q} vs float AP {ap}"
