@@ -143,3 +143,24 @@ def test_evaluate_wider_batched_equals_per_image(tmp_path, monkeypatch):
         batch_chunk=3,
     )
     assert abs(aps_per["easy"] - aps_bat["easy"]) < 1e-6
+
+
+def test_batched_tta_launch_log():
+    """launch_log records one (batch, shape, size, flip) tuple per program
+    launch, enabling the suite's device-side replay (config #3)."""
+    import numpy as np
+
+    from tpucenterface.eval.batch_runner import batched_detect_tta
+
+    det = _det()
+    rng = np.random.RandomState(4)
+    imgs = [rng.randint(0, 255, (40, 60, 3), np.uint8) for _ in range(3)]
+    log = []
+    batched_detect_tta(
+        det, imgs, scales=(1.0,), flip=True, batch_size=4,
+        launch_log=log,
+    )
+    assert log, "no launches recorded"
+    for b, shape, size, flip in log:
+        assert b == 4 and isinstance(shape, tuple) and flip is True
+        assert size in det.config.buckets

@@ -67,9 +67,15 @@ def batched_detect_tta(
     nms_thresh: float = 0.4,
     max_dets: Optional[int] = 750,
     batch_size: int = 16,
+    launch_log: Optional[List[Tuple[int, Tuple[int, int], int, bool]]] = None,
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """TPU-shaped flip + multi-scale TTA over a mixed-shape image list
     (VERDICT r1 #4 / SURVEY.md §3.3 hot loop #3).
+
+    launch_log (optional): appended with one (batch, padded_shape, size,
+    flip) tuple per program launch — lets a bench harness replay the exact
+    launch plan on staged arrays to separate device compute from the
+    host->device transfer wall (the dominant eval cost through a relay).
 
     Per (scale) each image maps to a model-input bucket; work is grouped by
     (padded shape, bucket) and dispatched as fixed-size batches. The flip
@@ -114,6 +120,8 @@ def batched_detect_tta(
                     fn = detector._batch_flip_fn(batch_size, shape, size)
                 else:
                     fn = detector._batch_fn(batch_size, shape, size)
+                if launch_log is not None:
+                    launch_log.append((batch_size, shape, size, flip))
                 out = fn(dev_batch, dev_hws)
                 boxes = np.asarray(out[0])
                 scores = np.asarray(out[1])
