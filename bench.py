@@ -33,23 +33,23 @@ def main():
 
     j_imgs = jnp.asarray(imgs)
     j_hws = jnp.asarray(hws)
-    # warmup / compile; force completion by fetching a scalar (NOTE:
-    # block_until_ready is unreliable over the axon relay — a host fetch of
-    # the last enqueued result is the sound completion barrier, since device
-    # execution is FIFO)
-    boxes, scores = fn(j_imgs, j_hws)
-    float(np.asarray(scores).sum())
+
+    def fifo_ips(fn_, im, hw, b, n):
+        """Enqueue n launches, fetch one scalar of the LAST result: device
+        execution is FIFO so that bounds all prior work (block_until_ready
+        is unreliable over the axon relay). Warmup/compile included once."""
+        _, scores = fn_(im, hw)
+        float(np.asarray(scores).sum())
+        t0 = time.perf_counter()
+        for _ in range(n):
+            _, scores = fn_(im, hw)
+        float(np.asarray(scores).sum())
+        return b * n / (time.perf_counter() - t0)
 
     # 100 enqueued batches: at 30 the run-constant costs (first dispatches
     # through the relay) depress the steady-state rate by ~5%
     iters = int(os.environ.get("BENCH_ITERS", "100"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        boxes, scores = fn(j_imgs, j_hws)
-    float(np.asarray(scores).sum())  # barrier: all iters retired
-    dt = time.perf_counter() - t0
-
-    ips = batch * iters / dt
+    ips = fifo_ips(fn, j_imgs, j_hws, batch, iters)
 
     # Serving mode: the same bs32 request stream dynamically coalesced into
     # bs128 device programs (tpucenterface/runtime/serving.py) — the measured
@@ -61,15 +61,11 @@ def main():
     dev_b = 128
     j_imgs128 = jnp.asarray(np.tile(np.asarray(imgs), (dev_b // batch, 1, 1, 1)))
     j_hws128 = jnp.asarray(np.tile(hws, (dev_b // batch, 1)))
-    fn128 = det._batch_fn(dev_b, (side, side), side)
-    b128, s128 = fn128(j_imgs128, j_hws128)
-    float(np.asarray(s128).sum())
     iters128 = max(1, (iters * batch) // dev_b)
-    t0 = time.perf_counter()
-    for _ in range(iters128):
-        b128, s128 = fn128(j_imgs128, j_hws128)
-    float(np.asarray(s128).sum())
-    serving_ips = dev_b * iters128 / (time.perf_counter() - t0)
+    serving_ips = fifo_ips(
+        det._batch_fn(dev_b, (side, side), side),
+        j_imgs128, j_hws128, dev_b, iters128,
+    )
 
     # opt-in W8A8 serving forward (Detector.quantize): loses at bs32, wins
     # at bs>=128 where the int8 MXU rate dominates the unfused q/dq chains
@@ -79,14 +75,10 @@ def main():
     serving_int8_ips = None
     try:
         det.quantize(calib_images=imgs[:8])
-        fn128q = det._batch_fn(dev_b, (side, side), side)
-        b128, s128 = fn128q(j_imgs128, j_hws128)
-        float(np.asarray(s128).sum())
-        t0 = time.perf_counter()
-        for _ in range(iters128):
-            b128, s128 = fn128q(j_imgs128, j_hws128)
-        float(np.asarray(s128).sum())
-        serving_int8_ips = dev_b * iters128 / (time.perf_counter() - t0)
+        serving_int8_ips = fifo_ips(
+            det._batch_fn(dev_b, (side, side), side),
+            j_imgs128, j_hws128, dev_b, iters128,
+        )
     except Exception as e:
         print(f"# int8 serving measurement skipped: {e}", file=sys.stderr)
     finally:

@@ -22,6 +22,18 @@ def _barrier(x):
     return float(np.asarray(x).sum())
 
 
+def _fifo_ips(fn, im, hw, batch, iters):
+    """Warm/compile once, enqueue `iters` launches, barrier on the LAST
+    result's scores (device execution is FIFO) -> images/sec."""
+    out = fn(im, hw)
+    _barrier(out[1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(im, hw)
+    _barrier(out[1])
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def config1_single_320(det) -> dict:
     """Single 320x320 image forward + decode latency (parity config).
 
@@ -61,15 +73,8 @@ def config2_batch640(det, batch=32) -> dict:
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.randint(0, 255, (batch, 640, 640, 3), np.uint8))
     hws = jnp.asarray(np.tile(np.array([[640, 640]], np.int32), (batch, 1)))
-    fn = det._batch_fn(batch, (640, 640), 640)
-    _barrier(fn(imgs, hws)[1])
     n = 100  # steady state; run-constant dispatch costs bias short runs low
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(imgs, hws)
-    _barrier(out[1])
-    dt = time.perf_counter() - t0
-    ips = batch * n / dt
+    ips = _fifo_ips(det._batch_fn(batch, (640, 640), 640), imgs, hws, batch, n)
 
     # Serving mode: the SAME bs32 request stream dynamically coalesced into
     # bs128 device programs (runtime/serving.ServingEngine) — the measured
@@ -86,14 +91,10 @@ def config2_batch640(det, batch=32) -> dict:
     hws128 = jnp.asarray(
         np.tile(np.array([[640, 640]], np.int32), (dev_b, 1))
     )
-    fn128 = det._batch_fn(dev_b, (640, 640), 640)
-    _barrier(fn128(imgs128, hws128)[1])
     n128 = max(1, (n * batch) // dev_b)
-    t0 = time.perf_counter()
-    for _ in range(n128):
-        out = fn128(imgs128, hws128)
-    _barrier(out[1])
-    serving_dev_ips = dev_b * n128 / (time.perf_counter() - t0)
+    serving_dev_ips = _fifo_ips(
+        det._batch_fn(dev_b, (640, 640), 640), imgs128, hws128, dev_b, n128
+    )
 
     from tpucenterface.runtime.serving import ServingEngine
 
@@ -229,15 +230,9 @@ def config4_video(det, n_frames=60) -> dict:
                                          np.uint8)
     )
     hws8 = jnp.asarray(np.tile(np.array([[720, 1280]], np.int32), (B, 1)))
-    fn8 = det._batch_fn(B, padded.shape[:2], 640)
-    out = fn8(imgs8, hws8)
-    _barrier(out[1])
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn8(imgs8, hws8)
-    _barrier(out[1])
-    ms8 = (time.perf_counter() - t0) / iters / B * 1e3
+    ms8 = 1e3 / _fifo_ips(
+        det._batch_fn(B, padded.shape[:2], 640), imgs8, hws8, B, 20
+    )
 
     return {"metric": "720p stream steady-state", "value": round(pipe.last_fps, 1),
             "unit": "fps", "p50_latency_ms": round(lat, 1),
@@ -264,14 +259,8 @@ def config5_dp(det, batch=256) -> dict:
     fn = shard_batch_fn(lambda im, hw: inner(im, hw), mesh, num_batch_args=2)
     dimgs = put_sharded(jnp.asarray(imgs), mesh)
     dhws = put_sharded(jnp.asarray(hws), mesh)
-    _barrier(fn(dimgs, dhws)[1])
     n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(dimgs, dhws)
-    _barrier(out[1])
-    dt = time.perf_counter() - t0
-    ips = b * n / dt
+    ips = _fifo_ips(fn, dimgs, dhws, b, n)
 
     # int8 serving variant (opt-in W8A8). int8 wins only at PER-CHIP batch
     # >= ~128 (PERFORMANCE.md: it LOSES at per-chip bs32), so the int8 sweep
@@ -288,12 +277,7 @@ def config5_dp(det, batch=256) -> dict:
         )
         dimgs_q = put_sharded(jnp.asarray(imgs_q), mesh)
         dhws_q = put_sharded(jnp.asarray(hws_q), mesh)
-        _barrier(fn_q(dimgs_q, dhws_q)[1])
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn_q(dimgs_q, dhws_q)
-        _barrier(out[1])
-        ips_q = bq * n / (time.perf_counter() - t0)
+        ips_q = _fifo_ips(fn_q, dimgs_q, dhws_q, bq, n)
     finally:
         det.dequantize()
     return {"metric": f"DP sweep bs={b} over {nd} device(s)", "value": round(ips, 1),

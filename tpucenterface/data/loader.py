@@ -1,14 +1,15 @@
 """Training batch pipeline: augment + render targets + stack
 (SURVEY.md §2 C7/C9 [K]: replaces the torch Dataset/DataLoader pair).
 
-A plain generator on purpose: batches flow through
-`runtime.prefetch.prefetch_to_device`, which overlaps the host work here with
-device compute — the role DataLoader workers play in the reference. For
-multi-process scaling, wrap `build_sample` in a `multiprocessing.Pool`.
+Batches flow through `runtime.prefetch.prefetch_to_device`, which overlaps
+the host work here with device compute; `batch_iterator(workers=N)` adds the
+DataLoader-worker role itself (bounded-window thread pool over
+`build_sample` — see its docstring).
 """
 
 from __future__ import annotations
 
+import collections
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import cv2
@@ -73,8 +74,6 @@ def batch_iterator(
             yield build_sample(records[idx], cfg, rng, wh_log=wh_log)
 
     def samples_pooled(order, epoch):
-        import collections
-
         window = max(2 * cfg.batch_size, 2 * workers)
 
         def submit(idx):

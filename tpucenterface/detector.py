@@ -16,6 +16,7 @@ batched, bucketed, and jit-cached.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -106,8 +107,6 @@ class Detector:
         self._fn_cache: Dict[Tuple, Any] = {}
         # get-or-build on the jit cache is check-then-insert; serialize it so
         # concurrent serving worker threads can't trace the same key twice
-        import threading
-
         self._fn_lock = threading.Lock()
 
     # ------------------------------------------------------------------ #
