@@ -89,3 +89,26 @@ def test_detector_s2d_stem_opt_in():
         config=DetectorConfig(model=CFG, default_size=64),
     )
     assert not det2.config.model.s2d_stem
+
+
+def test_detector_constructed_with_s2d_stem_from_scratch():
+    """ModelConfig(s2d_stem=True) at construction: init builds the 2x2 s2d
+    stem directly, so the fold must NOT try the 3x3 remap (regression: this
+    crashed with 's2d stem remap expects a 3x3 kernel')."""
+    import jax
+    import numpy as np
+
+    from tpucenterface.config import DetectorConfig, ModelConfig
+    from tpucenterface.detector import Detector
+
+    cfg = DetectorConfig(
+        model=ModelConfig(compute_dtype="float32", s2d_stem=True),
+        buckets=(64, 128),
+        default_size=64,
+    )
+    det = Detector(config=cfg, rng=jax.random.PRNGKey(0))
+    assert det.config.model.s2d_stem
+    out = det.detect(
+        np.zeros((64, 64, 3), np.uint8), score_thresh=-1.0
+    )
+    assert out.boxes.shape[1] == 4 and np.isfinite(out.scores).all()

@@ -74,12 +74,18 @@ class Detector:
             s2d = config.model.s2d_stem and all(
                 b % 2 == 0 for b in config.buckets
             ) and (config.default_size % 2 == 0)
+            # A model INITIALIZED with s2d_stem=True already carries the 2x2
+            # stem kernel — only 3x3 (standard-stem) weights need the remap.
+            stem_kh = int(
+                variables["params"]["backbone"]["stem"]["conv"]["kernel"].shape[0]
+            )
             variables = fold_variables(
                 variables,
                 bn_eps=config.model.bn_eps,
                 fuse_heads=fuse,
-                s2d_stem=s2d,
+                s2d_stem=s2d and stem_kh == 3,
             )
+            s2d = s2d or stem_kh == 2  # 2x2 stem: the model IS s2d-built
             config = replace(
                 config,
                 model=replace(
