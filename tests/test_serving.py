@@ -221,3 +221,32 @@ def test_engine_stats_populated(det):
     assert s["launches"] >= 2  # 16 images / device_batch 8
     assert s["latency_ms_p50"] is not None and s["latency_ms_p50"] > 0
     assert s["latency_ms_max"] >= s["latency_ms_p50"]
+
+
+def test_concurrent_submitters(det):
+    """Multiple client threads submitting simultaneously: every future
+    resolves with the right per-request result (no cross-request mixups)."""
+    import threading
+
+    payloads = {}
+    results = {}
+    with ServingEngine(det, HW, device_batch=8, score_thresh=-1.0) as eng:
+
+        def client(tid):
+            rng = np.random.RandomState(100 + tid)
+            imgs = rng.randint(0, 255, (2, *HW, 3), np.uint8)
+            payloads[tid] = imgs
+            results[tid] = eng.submit(imgs).result(timeout=180)
+
+        threads = [
+            threading.Thread(target=client, args=(t,)) for t in range(6)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    for tid, dets in results.items():
+        direct = det.detect_batch(payloads[tid], score_thresh=-1.0)
+        for a, b in zip(dets, direct):
+            np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
+            np.testing.assert_allclose(a.boxes, b.boxes, atol=1e-3)
