@@ -250,3 +250,39 @@ def test_concurrent_submitters(det):
         for a, b in zip(dets, direct):
             np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
             np.testing.assert_allclose(a.boxes, b.boxes, atol=1e-3)
+
+
+def test_dp_serving_matches_single_device(det):
+    """mesh= serving: launches run data-parallel over the 8-fake-device
+    mesh; per-request results match the single-device engine."""
+    from tpucenterface.runtime.sharding import data_mesh
+
+    mesh = data_mesh()
+    reqs = _requests(4, 4, seed=21)  # 16 imgs, device_batch 8 over 8 devices
+    with ServingEngine(
+        det, HW, device_batch=8, score_thresh=-1.0, mesh=mesh
+    ) as eng:
+        futs = [eng.submit(r) for r in reqs]
+        dp = [f.result(timeout=180) for f in futs]
+    for imgs, dets in zip(reqs, dp):
+        direct = det.detect_batch(imgs, score_thresh=-1.0)
+        for a, b in zip(dets, direct):
+            np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
+            np.testing.assert_allclose(a.boxes, b.boxes, atol=1e-3)
+
+
+def test_dp_serving_oversize_rounds_to_mesh(det):
+    from tpucenterface.runtime.sharding import data_mesh
+
+    mesh = data_mesh()
+    eng = ServingEngine(det, HW, device_batch=8, score_thresh=-1.0, mesh=mesh)
+    launches = []
+    orig = eng._fn
+    eng._fn = lambda b, **kw: (launches.append(b), orig(b, **kw))[1]
+    imgs = _requests(1, 11, seed=22)[0]  # 11 > device_batch, not /8
+    out = list(eng.map_stream([(imgs, None)]))
+    assert len(out) == 1 and len(out[0]) == 11
+    assert launches == [16], launches  # rounded up to the 8-device mesh
+
+    with pytest.raises(ValueError):
+        ServingEngine(det, HW, device_batch=12, mesh=mesh)  # 12 % 8 != 0

@@ -73,6 +73,11 @@ class ServingEngine:
       inflight: how many enqueued-but-unfetched programs to keep (2 =
         double buffering; device execution is FIFO so deeper adds latency,
         not throughput).
+      mesh: optional 1-D 'data' jax.sharding.Mesh — launches run
+        data-parallel over it (inputs put_sharded, programs jitted with
+        batch shardings via runtime.sharding.shard_batch_fn). This is the
+        multi-chip serving configuration: device_batch should be
+        per_chip_batch * mesh size (e.g. 128 * 8 on v5e-8).
     """
 
     def __init__(
@@ -83,9 +88,18 @@ class ServingEngine:
         size: Optional[int] = None,
         score_thresh: Optional[float] = None,
         inflight: int = 2,
+        mesh=None,
     ):
         if device_batch < 1:
             raise ValueError("device_batch must be >= 1")
+        self.mesh = mesh
+        self._nd = 1 if mesh is None else int(mesh.devices.size)
+        if device_batch % self._nd:
+            raise ValueError(
+                f"device_batch {device_batch} must divide over the "
+                f"{self._nd}-device mesh"
+            )
+        self._dp_cache: dict = {}
         self.det = detector
         self.padded_hw = tuple(padded_hw)
         self.device_batch = device_batch
@@ -113,9 +127,21 @@ class ServingEngine:
     # ------------------------------------------------------------------ #
 
     def _fn(self, batch: int, identity: bool = False):
-        return self.det._batch_fn(
+        fn = self.det._batch_fn(
             batch, self.padded_hw, self.size, identity=identity
         )
+        if self.mesh is None:
+            return fn
+        key = (batch, identity)
+        wrapped = self._dp_cache.get(key)
+        if wrapped is None:
+            from tpucenterface.runtime.sharding import shard_batch_fn
+
+            wrapped = shard_batch_fn(
+                lambda im, hw: fn(im, hw), self.mesh, num_batch_args=2
+            )
+            self._dp_cache[key] = wrapped
+        return wrapped
 
     def _launch(self, group: Sequence[_Request]) -> Tuple[Sequence[_Request], Any]:
         """Enqueue ONE fused program for the group; no host sync."""
@@ -124,8 +150,12 @@ class ServingEngine:
         total = sum(r.n for r in group)
         # pad the coalesced batch up to device_batch so one executable
         # serves every group (no recompiles for ragged tails; a single
-        # request larger than device_batch runs at its own size)
-        b = self.device_batch if total <= self.device_batch else total
+        # request larger than device_batch runs at its own size, rounded
+        # up to the mesh size under DP)
+        if total <= self.device_batch:
+            b = self.device_batch
+        else:
+            b = -(-total // self._nd) * self._nd
         # pre-sized fast path: if every real image in the group is exactly
         # the model size, the whole launch can use the identity-preprocess
         # program — pad rows then also carry hw=size so one executable fits
@@ -147,9 +177,15 @@ class ServingEngine:
                 o += r.n
         try:
             self._n_launches += 1
-            res = self._fn(b, identity=identity)(
-                jnp.asarray(imgs), jnp.asarray(hws)
-            )
+            if self.mesh is not None:
+                from tpucenterface.runtime.sharding import put_sharded
+
+                dev_im = put_sharded(imgs, self.mesh)
+                dev_hw = put_sharded(hws, self.mesh)
+            else:
+                dev_im = jnp.asarray(imgs)
+                dev_hw = jnp.asarray(hws)
+            res = self._fn(b, identity=identity)(dev_im, dev_hw)
         except Exception as e:
             for r in group:
                 if not r.future.cancelled():
