@@ -286,3 +286,20 @@ def test_dp_serving_oversize_rounds_to_mesh(det):
 
     with pytest.raises(ValueError):
         ServingEngine(det, HW, device_batch=12, mesh=mesh)  # 12 % 8 != 0
+
+
+def test_submit_validates_in_caller_thread(det):
+    """Malformed requests raise in the CALLER (a worker-thread failure would
+    strand futures); review-pass-3 regression."""
+    with ServingEngine(det, HW, device_batch=4) as eng:
+        with pytest.raises(ValueError):  # wrong channel count
+            eng.submit(np.zeros((1, *HW, 4), np.uint8))
+        with pytest.raises(ValueError):  # hws row count mismatch
+            eng.submit(
+                np.zeros((2, *HW, 3), np.uint8),
+                hws=np.zeros((3, 2), np.int32),
+            )
+        with pytest.raises(ValueError):  # hws wrong width
+            eng.submit(
+                np.zeros((1, *HW, 3), np.uint8), hws=np.zeros((1, 3))
+            )

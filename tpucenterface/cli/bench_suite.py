@@ -201,7 +201,7 @@ def config4_video(det, n_frames=60) -> dict:
     pipe = VideoPipeline(det, size=640)
     for _ in pipe.run(frames()):
         pass
-    lat = float(np.median(pipe.steady_latencies_ms[5:]))
+    lat = float(np.median(list(pipe.steady_latencies_ms)[5:]))
 
     # device-true per-frame compute (slope method): the wall fps above is
     # dominated by shipping 2.7MB/frame through the relay (VERDICT r1 #5);

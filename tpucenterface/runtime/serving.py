@@ -127,24 +127,40 @@ class ServingEngine:
     # ------------------------------------------------------------------ #
 
     def _fn(self, batch: int, identity: bool = False):
-        fn = self.det._batch_fn(
-            batch, self.padded_hw, self.size, identity=identity
-        )
         if self.mesh is None:
-            return fn
+            return self.det._batch_fn(
+                batch, self.padded_hw, self.size, identity=identity
+            )
         key = (batch, identity)
         wrapped = self._dp_cache.get(key)
         if wrapped is None:
             from tpucenterface.runtime.sharding import shard_batch_fn
 
             wrapped = shard_batch_fn(
-                lambda im, hw: fn(im, hw), self.mesh, num_batch_args=2
+                self.det._batch_fn(
+                    batch, self.padded_hw, self.size, identity=identity
+                ),
+                self.mesh,
+                num_batch_args=2,
             )
             self._dp_cache[key] = wrapped
         return wrapped
 
     def _launch(self, group: Sequence[_Request]) -> Tuple[Sequence[_Request], Any]:
-        """Enqueue ONE fused program for the group; no host sync."""
+        """Enqueue ONE fused program for the group; no host sync.
+
+        EVERYTHING (assembly included) runs under the try: an exception must
+        become set_exception on the group's futures, never a dead worker
+        thread with callers blocked on unresolved futures."""
+        try:
+            return group, self._launch_inner(group)
+        except Exception as e:
+            for r in group:
+                if not r.future.cancelled():
+                    r.future.set_exception(e)
+            return group, None
+
+    def _launch_inner(self, group: Sequence[_Request]):
         import jax.numpy as jnp
 
         total = sum(r.n for r in group)
@@ -175,23 +191,16 @@ class ServingEngine:
                 imgs[o : o + r.n] = r.images
                 hws[o : o + r.n] = r.hws
                 o += r.n
-        try:
-            self._n_launches += 1
-            if self.mesh is not None:
-                from tpucenterface.runtime.sharding import put_sharded
+        self._n_launches += 1
+        if self.mesh is not None:
+            from tpucenterface.runtime.sharding import put_sharded
 
-                dev_im = put_sharded(imgs, self.mesh)
-                dev_hw = put_sharded(hws, self.mesh)
-            else:
-                dev_im = jnp.asarray(imgs)
-                dev_hw = jnp.asarray(hws)
-            res = self._fn(b, identity=identity)(dev_im, dev_hw)
-        except Exception as e:
-            for r in group:
-                if not r.future.cancelled():
-                    r.future.set_exception(e)
-            return group, None
-        return group, res
+            dev_im = put_sharded(imgs, self.mesh)
+            dev_hw = put_sharded(hws, self.mesh)
+        else:
+            dev_im = jnp.asarray(imgs)
+            dev_hw = jnp.asarray(hws)
+        return self._fn(b, identity=identity)(dev_im, dev_hw)
 
     def _finalize(self, group: Sequence[_Request], res: Any) -> None:
         """Fetch a launched group's results and fulfil its futures."""
@@ -251,28 +260,35 @@ class ServingEngine:
                 while pending:
                     self._finalize(*pending.popleft())
                 return
-            pending.append(self._launch(self._coalesce(r)))
-            while len(pending) > self.inflight:
-                self._finalize(*pending.popleft())
-            # idle: no queued OR carried work -> drain the pipeline
-            if self._carry is None and self._queue.empty():
-                while pending:
+            try:
+                pending.append(self._launch(self._coalesce(r)))
+                while len(pending) > self.inflight:
                     self._finalize(*pending.popleft())
+                # idle: no queued OR carried work -> drain the pipeline
+                if self._carry is None and self._queue.empty():
+                    while pending:
+                        self._finalize(*pending.popleft())
+            except Exception:  # pragma: no cover - _launch/_finalize convert
+                # their own failures into future exceptions; this guard only
+                # protects against the unexpected so the worker never dies
+                # with callers blocked on unresolved futures
+                continue
 
     # ------------------------------------------------------------------ #
     # async API
     # ------------------------------------------------------------------ #
 
-    def submit(
-        self, images: np.ndarray, hws: Optional[np.ndarray] = None
-    ) -> Future:
-        """Enqueue a (B, H, W, 3) uint8 request; Future -> List[Detections].
-
-        Requests queued while a launch is in flight coalesce into the next
-        launch (up to `device_batch` images per program).
-        """
+    def _make_request(
+        self, images: np.ndarray, hws: Optional[np.ndarray]
+    ) -> _Request:
+        """Validate (fully, in the CALLER's thread — a malformed request
+        must raise here, not kill the worker) and wrap one request."""
         if images.ndim == 3:
             images = images[None]
+        if images.ndim != 4 or images.shape[-1] != 3:
+            raise ValueError(
+                f"requests must be (B, H, W, 3), got {images.shape}"
+            )
         if images.dtype != np.uint8:
             raise ValueError(f"requests must be uint8, got {images.dtype}")
         if images.shape[1:3] != self.padded_hw:
@@ -284,7 +300,22 @@ class ServingEngine:
             hws = np.tile(
                 np.array(self.padded_hw, np.int32)[None], (images.shape[0], 1)
             )
-        req = _Request(images, np.asarray(hws, np.int32))
+        hws = np.asarray(hws, np.int32)
+        if hws.shape != (images.shape[0], 2):
+            raise ValueError(
+                f"hws must be ({images.shape[0]}, 2), got {hws.shape}"
+            )
+        return _Request(images, hws)
+
+    def submit(
+        self, images: np.ndarray, hws: Optional[np.ndarray] = None
+    ) -> Future:
+        """Enqueue a (B, H, W, 3) uint8 request; Future -> List[Detections].
+
+        Requests queued while a launch is in flight coalesce into the next
+        launch (up to `device_batch` images per program).
+        """
+        req = self._make_request(images, hws)
         # enqueue under the lock: close() also holds it, so a request can
         # never slip in after the shutdown sentinel drained (which would
         # leave its Future unresolved forever)
@@ -372,18 +403,7 @@ class ServingEngine:
                     self._finalize(*launched.popleft())
 
         for images, hws in batches:
-            if images.dtype != np.uint8:
-                raise ValueError(f"requests must be uint8, got {images.dtype}")
-            if images.shape[1:3] != self.padded_hw:
-                raise ValueError(
-                    f"request shape {images.shape[1:3]} != bucket {self.padded_hw}"
-                )
-            if hws is None:
-                hws = np.tile(
-                    np.array(self.padded_hw, np.int32)[None],
-                    (images.shape[0], 1),
-                )
-            r = _Request(images, np.asarray(hws, np.int32))
+            r = self._make_request(images, hws)
             if n + r.n > self.device_batch:
                 flush_group()
             group.append(r)

@@ -30,7 +30,11 @@ class VideoPipeline:
         self.size = size or detector.config.default_size
         self.depth = depth
         self.last_fps: float = 0.0
-        self.steady_latencies_ms: list = []
+        # bounded (an indefinite camera stream must not leak one float per
+        # frame forever); reset at the start of each run()
+        self.steady_latencies_ms: collections.deque = collections.deque(
+            maxlen=1024
+        )
 
     def run(
         self, frames: Iterable[np.ndarray], score_thresh: Optional[float] = None
@@ -41,6 +45,7 @@ class VideoPipeline:
             det.config.decode.score_thresh if score_thresh is None else score_thresh
         )
         inflight: collections.deque = collections.deque()
+        self.steady_latencies_ms.clear()
         fn = None
         n = 0
         t0 = time.perf_counter()
@@ -50,7 +55,7 @@ class VideoPipeline:
             if fn is None:
                 fn = det._single_fn(padded.shape[:2], self.size)
             t_submit = time.perf_counter()
-            dev_img = jax.device_put(jnp.asarray(padded))
+            dev_img = jax.device_put(padded)  # async host->device staging
             out = fn(dev_img, jnp.array([h, w], jnp.int32))
             boxes, scores = out[0], out[1]
             inflight.append((frame, boxes, scores, t_submit))
@@ -149,9 +154,11 @@ class MultiStreamPipeline:
         its = [iter(s) for s in streams]
         live = list(range(len(its)))
         pending = collections.deque()  # (stream_idx, frame, Future)
+        # bound on buffered frames: past this, BLOCK on the oldest result so
+        # fast frame sources can't stage an entire video into host memory
+        max_pending = max(2 * len(its), 4)
         try:
             while live or pending:
-                submitted = []
                 for si in list(live):
                     frame = next(its[si], None)
                     if frame is None:
@@ -163,12 +170,14 @@ class MultiStreamPipeline:
                     fut = eng.submit(
                         padded[None], np.array([[h, w]], np.int32)
                     )
-                    submitted.append((si, frame, fut))
-                pending.extend(submitted)
-                # drain at least one result per cycle to bound memory
-                while pending and (pending[0][2].done() or not live):
+                    pending.append((si, frame, fut))
+                while pending and (
+                    pending[0][2].done()
+                    or not live
+                    or len(pending) >= max_pending
+                ):
                     si, frame, fut = pending.popleft()
-                    dets = fut.result()[0]
+                    dets = fut.result()[0]  # blocking when over the bound
                     yield si, frame, dets
         finally:
             if self._engine is not None:
