@@ -73,3 +73,21 @@ def test_profiling_helpers():
         pass
     assert t.toc() >= 0.0
     assert t.fps >= 0.0
+
+
+def test_serve_cli_synthetic(tmp_path, capsys):
+    import json as _json
+
+    from tpucenterface.cli.serve import main
+
+    out = tmp_path / "dets.jsonl"
+    main([
+        "--source", "synthetic", "--n-synthetic", "6",
+        "--device-batch", "4", "--size", "64", "--thresh", "-1",
+        "--out", str(out),
+    ])
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    summary = _json.loads(lines[-1])
+    assert summary["images"] == 6 and summary["faces"] > 0
+    dets = [_json.loads(l) for l in out.read_text().splitlines()]
+    assert len(dets) == 6 and all(len(d["boxes"]) == len(d["scores"]) for d in dets)

@@ -1,0 +1,111 @@
+"""Serving CLI: dynamic-batching detection over an image directory/stream.
+
+The serving-stack counterpart of `cli.demo` (SURVEY.md §2 L6): where demo
+drives one video stream through the pipelined single-frame path, this
+drives an arbitrary pile of images through the coalescing ServingRouter —
+the deployment shape of BASELINE's throughput story (PERFORMANCE.md:
+bs32-request streams serve at bs128 device batches, 3.9k bf16 / 4.4k int8
+img/s/chip on v5e).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="tpucenterface serving runner")
+    p.add_argument("--source", default="synthetic",
+                   help="image directory, or 'synthetic' (N random images)")
+    p.add_argument("--weights", default=None, help=".safetensors or torch .pth")
+    p.add_argument("--n-synthetic", type=int, default=256)
+    p.add_argument("--device-batch", type=int, default=128)
+    p.add_argument("--size", type=int, default=None,
+                   help="model input size (default: config default)")
+    p.add_argument("--thresh", type=float, default=0.35)
+    p.add_argument("--int8", action="store_true",
+                   help="opt-in W8A8 serving forward (calibrates on the "
+                   "first device_batch images; NOT the parity path)")
+    p.add_argument("--out", default=None,
+                   help="write one JSON line per image (boxes/scores)")
+    args = p.parse_args(argv)
+
+    import cv2
+    import numpy as np
+
+    from tpucenterface.detector import Detector
+    from tpucenterface.runtime.serving import ServingRouter
+
+    if args.weights and args.weights.endswith(".pth"):
+        det = Detector.from_torch_pth(args.weights)
+    elif args.weights:
+        det = Detector.from_safetensors(args.weights)
+    else:
+        print("[serve] no --weights: random-init model (boxes are meaningless)")
+        det = Detector()
+
+    if args.size:
+        import dataclasses
+
+        det.config = dataclasses.replace(det.config, default_size=args.size)
+    if args.source == "synthetic":
+        rng = np.random.RandomState(0)
+        size = det.config.default_size
+        names = [f"synthetic_{i}" for i in range(args.n_synthetic)]
+        images = [
+            rng.randint(0, 255, (size, size, 3), np.uint8) for _ in names
+        ]
+    else:
+        names, images = [], []
+        for name in sorted(os.listdir(args.source)):
+            img = cv2.imread(os.path.join(args.source, name))
+            if img is not None:
+                names.append(name)
+                images.append(img)
+    if not images:
+        raise SystemExit(f"no readable images in {args.source}")
+
+    if args.int8:
+        calib = np.stack(
+            [cv2.resize(im, (det.config.default_size,) * 2)
+             for im in images[: args.device_batch]]
+        ).astype(np.uint8)
+        det.quantize(calib_images=calib)
+        print(f"[serve] int8 forward calibrated on {len(calib)} images")
+
+    out_f = open(args.out, "w") if args.out else None
+    t0 = time.perf_counter()
+    with ServingRouter(
+        det, device_batch=args.device_batch, score_thresh=args.thresh
+    ) as router:
+        futures = [(n, router.submit(im)) for n, im in zip(names, images)]
+        n_faces = 0
+        for name, fut in futures:
+            d = fut.result()
+            n_faces += len(d.scores)
+            if out_f:
+                out_f.write(json.dumps({
+                    "image": name,
+                    "boxes": np.round(d.boxes, 2).tolist(),
+                    "scores": np.round(d.scores, 4).tolist(),
+                }) + "\n")
+        stats = {
+            hw: eng.stats() for hw, eng in router._engines.items()
+        }
+    dt = time.perf_counter() - t0
+    if out_f:
+        out_f.close()
+    print(json.dumps({
+        "images": len(images),
+        "faces": n_faces,
+        "wall_s": round(dt, 2),
+        "img_per_s": round(len(images) / dt, 1),
+        "engines": {str(k): v for k, v in stats.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
