@@ -303,3 +303,35 @@ def test_submit_validates_in_caller_thread(det):
             eng.submit(
                 np.zeros((1, *HW, 3), np.uint8), hws=np.zeros((1, 3))
             )
+
+
+def test_reload_weights_under_serving(det):
+    """Hot weight reload: subsequent launches use the new weights; results
+    change, programs rebuild, and the engine keeps serving."""
+    import jax
+
+    img = np.random.RandomState(30).randint(0, 255, (1, *HW, 3), np.uint8)
+    with ServingEngine(det, HW, device_batch=2, score_thresh=-1.0) as eng:
+        before = eng.submit(img).result(timeout=120)[0]
+        from tpucenterface.config import DetectorConfig, ModelConfig
+        from tpucenterface.detector import Detector
+
+        donor = Detector(
+            config=DetectorConfig(
+                model=ModelConfig(compute_dtype="float32"), default_size=64
+            ),
+            rng=jax.random.PRNGKey(99),
+            fold_bn=False,  # raw unfolded variables exercise the fold path
+        )
+        # raw (unfolded) variables from a different init seed
+        from tpucenterface.model.centernet import init_model
+
+        _, raw = init_model(donor._init_config.model, rng=jax.random.PRNGKey(99))
+        det.reload_weights(variables=raw)
+        assert det.config.model.folded and det._quant is None
+        after = eng.submit(img).result(timeout=120)[0]
+    assert not np.allclose(before.scores, after.scores)
+    # still a valid detection result
+    assert np.isfinite(after.scores).all() and after.boxes.shape[1] == 4
+    with pytest.raises(ValueError):
+        det.reload_weights()

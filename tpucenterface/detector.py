@@ -55,6 +55,10 @@ class Detector:
         rng: Optional[jax.Array] = None,
         fold_bn: bool = True,
     ):
+        # pre-fold config kept for hot weight reloads (reload_weights
+        # reconstructs through the same fold pipeline)
+        self._init_config = config
+        self._init_fold_bn = fold_bn
         self.config = config
         if variables is None:
             _, variables = init_model(config.model, rng=rng)
@@ -228,6 +232,47 @@ class Detector:
             self._quant = eng
             self._fn_cache.clear()  # programs rebuild on the int8 forward
         return scales
+
+    def reload_weights(
+        self,
+        variables: Optional[Dict[str, Any]] = None,
+        safetensors_path: Optional[str] = None,
+        torch_pth_path: Optional[str] = None,
+    ) -> None:
+        """Hot-swap model weights (rolling update under live serving).
+
+        New weights go through the SAME construction pipeline (BN fold, head
+        fusion, engine build) as __init__, then swap in atomically under the
+        jit-cache lock: launches already enqueued keep the compiled old
+        weights; every subsequent program build uses the new ones (the jit
+        cache is cleared). An active int8 forward is dropped — recalibrate
+        via quantize() for the new weights.
+        """
+        if safetensors_path is not None:
+            fresh = Detector.from_safetensors(
+                safetensors_path, config=self._init_config
+            )
+        elif torch_pth_path is not None:
+            fresh = Detector.from_torch_pth(
+                torch_pth_path, config=self._init_config
+            )
+        elif variables is not None:
+            fresh = Detector(
+                variables=variables,
+                config=self._init_config,
+                fold_bn=self._init_fold_bn,
+            )
+        else:
+            raise ValueError(
+                "pass variables, safetensors_path, or torch_pth_path"
+            )
+        with self._fn_lock:
+            self.variables = fresh.variables
+            self.config = fresh.config
+            self.model = fresh.model
+            self._engine = fresh._engine
+            self._quant = None
+            self._fn_cache.clear()
 
     def dequantize(self) -> None:
         """Return to the default bf16 forward."""
