@@ -335,3 +335,43 @@ def test_reload_weights_under_serving(det):
     assert np.isfinite(after.scores).all() and after.boxes.shape[1] == 4
     with pytest.raises(ValueError):
         det.reload_weights()
+
+
+def test_serving_landmark_model():
+    """ServingEngine must carry the optional landmarks through coalescing."""
+    import jax
+
+    from tpucenterface.config import DetectorConfig, ModelConfig
+    from tpucenterface.detector import Detector
+
+    cfg = DetectorConfig(
+        model=ModelConfig(compute_dtype="float32", with_landmarks=True),
+        default_size=64,
+    )
+    lm_det = Detector(config=cfg, rng=jax.random.PRNGKey(3))
+    rng = np.random.RandomState(31)
+    imgs = rng.randint(0, 255, (3, *HW, 3), np.uint8)
+    with ServingEngine(lm_det, HW, device_batch=4, score_thresh=-1.0) as eng:
+        dets = eng.submit(imgs).result(timeout=120)
+    direct = lm_det.detect_batch(imgs, score_thresh=-1.0)
+    for a, b in zip(dets, direct):
+        assert a.landmarks is not None and a.landmarks.shape[1:] == (5, 2)
+        np.testing.assert_allclose(a.landmarks, b.landmarks, atol=1e-3)
+        np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
+
+
+def test_router_mesh_passthrough(det):
+    """ServingRouter forwards mesh= to its per-bucket engines."""
+    from tpucenterface.runtime.sharding import data_mesh
+    from tpucenterface.runtime.serving import ServingRouter
+
+    mesh = data_mesh()
+    with ServingRouter(
+        det, device_batch=8, score_thresh=-1.0, mesh=mesh
+    ) as router:
+        img = np.random.RandomState(33).randint(0, 255, (*HW, 3), np.uint8)
+        d = router.submit(img).result(timeout=180)
+        ref = det.detect(img, score_thresh=-1.0)
+        np.testing.assert_allclose(d.scores, ref.scores, atol=1e-5)
+        eng = next(iter(router._engines.values()))
+        assert eng.mesh is mesh
