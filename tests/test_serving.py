@@ -375,3 +375,23 @@ def test_router_mesh_passthrough(det):
         np.testing.assert_allclose(d.scores, ref.scores, atol=1e-5)
         eng = next(iter(router._engines.values()))
         assert eng.mesh is mesh
+
+
+def test_dp_serving_picks_up_hot_reload(det):
+    """Review-pass-4 regression: the mesh-mode DP wrapper cache must key on
+    the detector's weights_version, or reloads keep serving old weights."""
+    import jax
+
+    from tpucenterface.model.centernet import init_model
+    from tpucenterface.runtime.sharding import data_mesh
+
+    mesh = data_mesh()
+    img = np.random.RandomState(40).randint(0, 255, (8, *HW, 3), np.uint8)
+    with ServingEngine(
+        det, HW, device_batch=8, score_thresh=-1.0, mesh=mesh
+    ) as eng:
+        before = eng.submit(img).result(timeout=180)
+        _, raw = init_model(det._init_config.model, rng=jax.random.PRNGKey(77))
+        det.reload_weights(variables=raw)
+        after = eng.submit(img).result(timeout=180)
+    assert not np.allclose(before[0].scores, after[0].scores)

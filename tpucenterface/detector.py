@@ -114,6 +114,10 @@ class Detector:
 
             self._engine = PlanarEngine(self.variables, self.config.model)
         self._quant = None  # set by quantize(): opt-in W8A8 serving forward
+        # bumped on every weights/forward swap (reload/quantize/dequantize);
+        # external program caches (e.g. ServingEngine's DP wrapper cache)
+        # key on it to drop stale compiled programs
+        self.weights_version = 0
         self._fn_cache: Dict[Tuple, Any] = {}
         # get-or-build on the jit cache is check-then-insert; serialize it so
         # concurrent serving worker threads can't trace the same key twice
@@ -209,6 +213,16 @@ class Detector:
 
         if not self.config.model.folded:
             raise ValueError("quantize() requires folded inference weights")
+        if self.config.model.s2d_stem:
+            raise ValueError(
+                "quantize() does not support s2d stems (the int8 engine "
+                "runs the standard 3x3/s2 stem); build with s2d_stem=False"
+            )
+        if self.config.model.head_conv <= 0:
+            raise ValueError(
+                "quantize() requires head_conv > 0 (the int8 engine runs "
+                "the fused-head form, which needs the hidden head conv)"
+            )
         eng = QuantEngine(self.variables, self.config.model, int8_dw=int8_dw)
         if calib_batches is not None:
             xs = [jnp.asarray(b) for b in calib_batches]
@@ -230,6 +244,7 @@ class Detector:
         scales = eng.calibrate(xs)
         with self._fn_lock:
             self._quant = eng
+            self.weights_version += 1
             self._fn_cache.clear()  # programs rebuild on the int8 forward
         return scales
 
@@ -249,29 +264,33 @@ class Detector:
         via quantize() for the new weights.
         """
         if safetensors_path is not None:
-            fresh = Detector.from_safetensors(
-                safetensors_path, config=self._init_config
+            from tpucenterface.weights.io import load_safetensors
+
+            variables = load_safetensors(
+                safetensors_path, self._init_config.model
             )
         elif torch_pth_path is not None:
-            fresh = Detector.from_torch_pth(
-                torch_pth_path, config=self._init_config
+            from tpucenterface.weights.port import load_torch_pth
+
+            variables = load_torch_pth(
+                torch_pth_path, self._init_config.model
             )
-        elif variables is not None:
-            fresh = Detector(
-                variables=variables,
-                config=self._init_config,
-                fold_bn=self._init_fold_bn,
-            )
-        else:
+        elif variables is None:
             raise ValueError(
                 "pass variables, safetensors_path, or torch_pth_path"
             )
+        fresh = Detector(
+            variables=variables,
+            config=self._init_config,
+            fold_bn=self._init_fold_bn,
+        )
         with self._fn_lock:
             self.variables = fresh.variables
             self.config = fresh.config
             self.model = fresh.model
             self._engine = fresh._engine
             self._quant = None
+            self.weights_version += 1
             self._fn_cache.clear()
 
     def dequantize(self) -> None:
@@ -279,7 +298,20 @@ class Detector:
         if self._quant is not None:
             with self._fn_lock:
                 self._quant = None
+                self.weights_version += 1
                 self._fn_cache.clear()
+
+    def _get_or_build(self, key: Tuple, builder) -> Any:
+        """Thread-safe jit-cache access: read under the lock, build outside
+        (jit wrapper construction is cheap; tracing is deferred), insert
+        with setdefault so concurrent builders converge on one program."""
+        with self._fn_lock:
+            fn = self._fn_cache.get(key)
+        if fn is None:
+            run = builder()
+            with self._fn_lock:
+                fn = self._fn_cache.setdefault(key, run)
+        return fn
 
     def _identity_for(self, padded_hw, size: int, hws) -> bool:
         """True when every image in the call is exactly the model size, so
@@ -315,9 +347,7 @@ class Detector:
 
     def _single_fn(self, padded_hw: Tuple[int, int], size: int, identity: bool = False):
         key = ("single", padded_hw, size, identity)
-        with self._fn_lock:
-            fn = self._fn_cache.get(key)
-        if fn is None:
+        def build():
 
             @jax.jit
             def run(img_u8: jnp.ndarray, hw: jnp.ndarray):
@@ -342,9 +372,9 @@ class Detector:
                     )
                 return boxes, scores[0]
 
-            with self._fn_lock:
-                fn = self._fn_cache.setdefault(key, run)
-        return fn
+            return run
+
+        return self._get_or_build(key, build)
 
     def _batch_fn(
         self,
@@ -354,9 +384,7 @@ class Detector:
         identity: bool = False,
     ):
         key = ("batch", batch, padded_hw, size, identity)
-        with self._fn_lock:
-            fn = self._fn_cache.get(key)
-        if fn is None:
+        def build():
 
             @jax.jit
             def run(imgs_u8: jnp.ndarray, hws: jnp.ndarray):
@@ -381,9 +409,9 @@ class Detector:
                     )
                 return boxes, scores
 
-            with self._fn_lock:
-                fn = self._fn_cache.setdefault(key, run)
-        return fn
+            return run
+
+        return self._get_or_build(key, build)
 
     def _batch_flip_fn(self, batch: int, padded_hw: Tuple[int, int], size: int):
         """Batched detect computing the image AND its horizontal mirror in ONE
@@ -397,9 +425,7 @@ class Detector:
         """
         assert self.config.preprocess.center, "device flip needs centered letterbox"
         key = ("batch_flip", batch, padded_hw, size)
-        with self._fn_lock:
-            fn = self._fn_cache.get(key)
-        if fn is None:
+        def build():
 
             @jax.jit
             def run(imgs_u8: jnp.ndarray, hws: jnp.ndarray):
@@ -425,9 +451,9 @@ class Detector:
                 )
                 return all_boxes, all_scores
 
-            with self._fn_lock:
-                fn = self._fn_cache.setdefault(key, run)
-        return fn
+            return run
+
+        return self._get_or_build(key, build)
 
     # ------------------------------------------------------------------ #
     # public API

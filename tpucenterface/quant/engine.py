@@ -58,6 +58,12 @@ class QuantEngine:
             from tpucenterface.weights.fold import fuse_head_params
 
             names = [n for n in ("hm", "wh", "off", "lm") if n in self.p["heads"]]
+            if any("conv" not in self.p["heads"][n] for n in names):
+                raise ValueError(
+                    "QuantEngine requires head_conv > 0 (fused-head form "
+                    "needs the hidden head conv); this model has single-1x1 "
+                    "heads"
+                )
             heads = fuse_head_params(self.p["heads"], names)
             self.p = dict(self.p)
             self.p["heads"] = {"fused": heads}
@@ -96,8 +102,10 @@ class QuantEngine:
         pad = (kh - 1) // 2
         quantize = mode == "quant" and (groups == 1 or self.int8_dw)
         if mode == "calibrate":
-            amax = float(jnp.max(jnp.abs(x)))
-            self._amax[tag] = max(self._amax.get(tag, 0.0), amax, 1e-6)
+            # traced: collected into the jitted calibration forward's output
+            # (one device fetch per BATCH instead of one blocking sync per
+            # conv — ~60 relay round trips saved per calibration batch)
+            self._amax_collector[tag] = jnp.max(jnp.abs(x))
         if quantize:
             sx = jnp.float32(self.act_scales[tag] / 127.0)
             if x.dtype == jnp.int8:
@@ -174,16 +182,14 @@ class QuantEngine:
             if out_stride >= 4 and (nxt is None or nxt[3] > out_stride):
                 feats[out_stride] = y
 
+        from tpucenterface.model.neck import _upsample2x
+
         nk = self.p["neck"]
         strides = sorted(feats.keys(), reverse=True)
         y = cb(f"lat{strides[0]}", nk[f"lateral_{strides[0]}"], feats[strides[0]])
         for s in strides[1:]:
             lat = cb(f"lat{s}", nk[f"lateral_{s}"], feats[s])
-            bsz, hh, ww, cc = y.shape
-            up = jnp.broadcast_to(
-                y[:, :, None, :, None, :], (bsz, hh, 2, ww, 2, cc)
-            ).reshape(bsz, 2 * hh, 2 * ww, cc)
-            y = up + lat
+            y = _upsample2x(y) + lat
             y = cb(f"smooth{s}", nk[f"smooth_{s}"], y)
 
         hf = self.p["heads"]["fused"]
@@ -209,10 +215,21 @@ class QuantEngine:
         """Run bf16 forwards recording per-conv-input amax -> set act scales.
 
         batches: normalized NHWC float arrays (same distribution as serving).
+        The forward runs jitted and returns the whole {tag: amax} pytree, so
+        calibration costs one dispatch + one fetch per batch.
         """
         self._amax = {}
+
+        def fwd_amax(x):
+            self._amax_collector = {}
+            self._forward(x, "calibrate")
+            return self._amax_collector
+
+        jfwd = jax.jit(fwd_amax)
         for x in batches:
-            self._forward(jnp.asarray(x), "calibrate")
+            amax = jax.device_get(jfwd(jnp.asarray(x)))
+            for tag, v in amax.items():
+                self._amax[tag] = max(self._amax.get(tag, 0.0), float(v), 1e-6)
         self.act_scales = dict(self._amax)
         return self.act_scales
 

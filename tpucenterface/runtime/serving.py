@@ -131,7 +131,9 @@ class ServingEngine:
             return self.det._batch_fn(
                 batch, self.padded_hw, self.size, identity=identity
             )
-        key = (batch, identity)
+        # the detector bumps weights_version on reload/quantize/dequantize;
+        # stale DP wrappers must not keep serving the old weights
+        key = (batch, identity, self.det.weights_version)
         wrapped = self._dp_cache.get(key)
         if wrapped is None:
             from tpucenterface.runtime.sharding import shard_batch_fn
