@@ -141,11 +141,16 @@ def test_foreign_checkpoint_auto_map_ports_to_parity():
     cfg = ModelConfig(compute_dtype="float32")
     twin, foreign = _foreign_renamed_state(cfg)
     prop = propose_name_map(foreign, cfg)
-    assert prop["complete"], (prop["unmatched_twin"][:5], prop["unmatched_foreign"][:5])
+    assert not prop["unmatched_twin"], prop["unmatched_twin"][:5]
     assert not prop["unmatched_foreign"]
+    # MobileNet repeats identical block shapes, so shape/order alignment is
+    # inherently order-ambiguous there — the mapper must SAY so rather than
+    # claim completeness (VERDICT r2 #4)
+    assert prop["ambiguous"]
+    assert not prop["complete"]
 
     v_direct = flax_from_torch_module(twin, cfg)
-    v_foreign = flax_from_foreign_state(foreign, cfg)
+    v_foreign = flax_from_foreign_state(foreign, cfg, allow_ambiguous=True)
     flat_a = jax.tree.leaves(v_direct)
     flat_b = jax.tree.leaves(v_foreign)
     assert len(flat_a) == len(flat_b)
@@ -180,3 +185,54 @@ def test_foreign_checkpoint_declarative_name_map():
     bad = dict(list(sd.items())[:-6])
     with pytest.raises((ValueError, KeyError)):
         flax_from_foreign_state(bad, cfg, name_map=name_map)
+
+
+def test_auto_map_flags_swapped_same_shape_layers():
+    """VERDICT r2 #4 'done' criterion: a checkpoint with two same-shape
+    units in swapped order must be flagged/refused — never `complete: True`
+    with crossed weights."""
+    import pytest
+
+    from tpucenterface.weights.port import (
+        flax_from_foreign_state,
+        propose_name_map,
+    )
+
+    cfg = ModelConfig(compute_dtype="float32")
+    _, foreign = _foreign_renamed_state(cfg)
+
+    # find two adjacent foreign units with identical shape signatures and
+    # swap their order in the dict (registration-order mismatch)
+    keys = list(foreign.keys())
+    units = {}
+    for k in keys:
+        units.setdefault(k.rsplit(".", 1)[0].rsplit(".", 1)[0], []).append(k)
+    unit_names = list(units)
+    swapped = None
+    for a, b in zip(unit_names, unit_names[1:]):
+        sig = lambda u: [
+            tuple(np.asarray(foreign[k]).shape)
+            for k in units[u]
+            if np.asarray(foreign[k]).ndim > 0
+        ]
+        if sig(a) == sig(b):
+            swapped = (a, b)
+            break
+    assert swapped is not None, "test premise: model has repeated shapes"
+    a, b = swapped
+    order = []
+    for k in keys:
+        u = k.rsplit(".", 1)[0].rsplit(".", 1)[0]
+        if u == a:
+            order.append(units[b][len([x for x in order if x in units[b]])])
+        elif u == b:
+            order.append(units[a][len([x for x in order if x in units[a]])])
+        else:
+            order.append(k)
+    crossed = {k: foreign[k] for k in order}
+
+    prop = propose_name_map(crossed, cfg)
+    assert not prop["complete"]
+    assert prop["ambiguous"]
+    with pytest.raises(ValueError, match="AMBIGUOUS"):
+        flax_from_foreign_state(crossed, cfg)

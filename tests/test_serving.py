@@ -395,3 +395,97 @@ def test_dp_serving_picks_up_hot_reload(det):
         det.reload_weights(variables=raw)
         after = eng.submit(img).result(timeout=180)
     assert not np.allclose(before[0].scores, after[0].scores)
+
+
+def test_batch_ladder_small_launch(det):
+    """A lone small request on an idle engine rides the small ladder rung,
+    not the full device_batch program (VERDICT r2 #3 low-load latency)."""
+    eng = ServingEngine(det, HW, device_batch=16, score_thresh=-1.0)
+    assert eng.batch_ladder == (4, 16)
+    launches = []
+    orig = eng._fn
+    eng._fn = lambda b, **kw: (launches.append(b), orig(b, **kw))[1]
+    with eng:
+        dets = eng.submit(np.zeros((*HW, 3), np.uint8)).result(timeout=120)
+    assert len(dets) == 1
+    assert launches == [4], launches  # smallest rung >= 1
+
+
+def test_batch_ladder_explicit_and_validation(det):
+    eng = ServingEngine(
+        det, HW, device_batch=16, batch_ladder=(16,), score_thresh=-1.0
+    )
+    launches = []
+    orig = eng._fn
+    eng._fn = lambda b, **kw: (launches.append(b), orig(b, **kw))[1]
+    with eng:
+        eng.submit(np.zeros((*HW, 3), np.uint8)).result(timeout=120)
+    assert launches == [16]  # single-rung ladder = round-2 behavior
+    with pytest.raises(ValueError):
+        ServingEngine(det, HW, device_batch=16, batch_ladder=(4, 8))
+    with pytest.raises(ValueError):
+        ServingEngine(det, HW, device_batch=16, batch_ladder=(0, 16))
+
+
+def test_stats_concurrent_hammering(det):
+    """stats() polled from a monitoring thread while requests complete must
+    never raise (VERDICT r2: 'deque mutated during iteration')."""
+    import threading
+
+    stop = threading.Event()
+    errors = []
+
+    def monitor(eng):
+        while not stop.is_set():
+            try:
+                eng.stats()
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    with ServingEngine(det, HW, device_batch=4, score_thresh=-1.0) as eng:
+        mon = threading.Thread(target=monitor, args=(eng,))
+        mon.start()
+        try:
+            futs = [
+                eng.submit(np.zeros((1, *HW, 3), np.uint8)) for _ in range(64)
+            ]
+            for f in futs:
+                f.result(timeout=180)
+        finally:
+            stop.set()
+            mon.join()
+    assert not errors
+    s = eng.stats()
+    assert s["requests"] == 64
+    assert s["pad_images"] >= 0 and s["mean_fill"] is not None
+
+
+def test_map_stream_exclusive_with_submit(det):
+    with ServingEngine(det, HW, device_batch=4, score_thresh=-1.0) as eng:
+        eng.submit(np.zeros((1, *HW, 3), np.uint8)).result(timeout=120)
+        with pytest.raises(RuntimeError):
+            list(eng.map_stream([(np.zeros((1, *HW, 3), np.uint8), None)]))
+
+
+def test_dp_cache_evicts_stale_versions(det):
+    """Rolling reload cycles must not grow the DP wrapper cache without
+    bound (ADVICE r2): stale weights_version entries drop on miss."""
+    import jax
+
+    from tpucenterface.model.centernet import init_model
+    from tpucenterface.runtime.sharding import data_mesh
+
+    mesh = data_mesh()
+    img = np.zeros((8, *HW, 3), np.uint8)
+    with ServingEngine(
+        det, HW, device_batch=8, score_thresh=-1.0, mesh=mesh
+    ) as eng:
+        for seed in (50, 51):
+            _, raw = init_model(
+                det._init_config.model, rng=jax.random.PRNGKey(seed)
+            )
+            det.reload_weights(variables=raw)
+            eng.submit(img).result(timeout=180)
+        versions = {k[2] for k in eng._dp_cache}
+    assert versions == {det.weights_version}, versions

@@ -266,11 +266,14 @@ def config5_dp(det, batch=256) -> dict:
     # >= ~128 (PERFORMANCE.md: it LOSES at per-chip bs32), so the int8 sweep
     # uses a global batch of 128 per chip rather than the config's b — the
     # DP serving deployment would coalesce to that per-chip batch anyway.
+    # Guarded like bench.py: the already-measured bf16 DP number must
+    # survive an int8 failure (e.g. a head_conv=0 or s2d-stem model).
     bq = 128 * nd
-    imgs_q = rng.randint(0, 255, (bq, 640, 640, 3), np.uint8)
-    hws_q = np.tile(np.array([[640, 640]], np.int32), (bq, 1))
-    det.quantize(calib_images=imgs[:8])
+    ips_q = None
     try:
+        imgs_q = rng.randint(0, 255, (bq, 640, 640, 3), np.uint8)
+        hws_q = np.tile(np.array([[640, 640]], np.int32), (bq, 1))
+        det.quantize(calib_images=imgs[:8])
         inner_q = det._batch_fn(bq, (640, 640), 640)
         fn_q = shard_batch_fn(
             lambda im, hw: inner_q(im, hw), mesh, num_batch_args=2
@@ -278,13 +281,17 @@ def config5_dp(det, batch=256) -> dict:
         dimgs_q = put_sharded(jnp.asarray(imgs_q), mesh)
         dhws_q = put_sharded(jnp.asarray(hws_q), mesh)
         ips_q = _fifo_ips(fn_q, dimgs_q, dhws_q, bq, n)
+    except Exception as e:
+        import sys
+
+        print(f"# config5 int8 sweep skipped: {e}", file=sys.stderr)
     finally:
         det.dequantize()
     return {"metric": f"DP sweep bs={b} over {nd} device(s)", "value": round(ips, 1),
             "unit": "img/s", "per_chip": round(ips / nd, 1),
-            "int8_img_s": round(ips_q, 1),
+            "int8_img_s": round(ips_q, 1) if ips_q is not None else None,
             "int8_batch": bq,
-            "int8_per_chip": round(ips_q / nd, 1)}
+            "int8_per_chip": round(ips_q / nd, 1) if ips_q is not None else None}
 
 
 def main(argv=None):

@@ -47,13 +47,20 @@ class VideoPipeline:
         inflight: collections.deque = collections.deque()
         self.steady_latencies_ms.clear()
         fn = None
+        fn_hw = None
         n = 0
         t0 = time.perf_counter()
         for frame in frames:
             h, w = frame.shape[:2]
             padded = pad_to_bucket(frame)
-            if fn is None:
+            if fn is None or fn_hw != padded.shape[:2]:
+                # mid-stream resolution change (rotation, camera switch):
+                # re-dispatch to the program for the NEW padded bucket —
+                # the detector's jit cache keys on the padded shape, so this
+                # compiles once per distinct bucket instead of silently
+                # re-tracing a stale program per frame (VERDICT r2 #9)
                 fn = det._single_fn(padded.shape[:2], self.size)
+                fn_hw = padded.shape[:2]
             t_submit = time.perf_counter()
             dev_img = jax.device_put(padded)  # async host->device staging
             out = fn(dev_img, jnp.array([h, w], jnp.int32))

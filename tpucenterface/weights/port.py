@@ -150,6 +150,38 @@ def apply_name_map(state_dict: Mapping[str, Any], name_map) -> Dict[str, Any]:
     return out
 
 
+def _ambiguous_unit_pairs(entries):
+    """Adjacent module units whose ordered shape signatures are identical.
+
+    Positional shape matching cannot verify the ORDER of two adjacent
+    modules with the same shape signature (e.g. MobileNet's repeated
+    identical blocks): if the foreign net registered them in a different
+    order than the twin's data flow, the two-pointer walk maps them
+    crosswise with no shape mismatch (VERDICT r2 #4). Scans every module
+    granularity (prefix depth); leaf tensors are always grouped at least at
+    their parent module (torch's within-module parameter order —
+    weight, bias, running_mean, running_var — is a universal convention,
+    so it is NOT flagged).
+    """
+    pairs = set()
+    if not entries:
+        return []
+    maxd = max(k.count(".") for k, _ in entries)
+    for d in range(1, maxd + 1):
+        groups: list = []  # (unit_prefix, [shapes...])
+        for k, s in entries:
+            parts = k.split(".")
+            pref = ".".join(parts[: min(d, len(parts) - 1)])
+            if groups and groups[-1][0] == pref:
+                groups[-1][1].append(s)
+            else:
+                groups.append((pref, [s]))
+        for (p1, s1), (p2, s2) in zip(groups, groups[1:]):
+            if s1 == s2:
+                pairs.add((p1, p2))
+    return sorted(pairs)
+
+
 def propose_name_map(
     state_dict: Mapping[str, Any], cfg: ModelConfig
 ) -> Dict[str, Any]:
@@ -161,8 +193,18 @@ def propose_name_map(
     (num_batches_tracked etc.), a two-pointer walk matching on exact tensor
     shape aligns the sequences. Returns
         {'mapping': {foreign: twin}, 'unmatched_foreign': [...],
-         'unmatched_twin': [...], 'complete': bool}
+         'unmatched_twin': [...], 'ambiguous': [(unitA, unitB), ...],
+         'complete': bool}
     so a caller can review what didn't line up before trusting the port.
+
+    `ambiguous` lists adjacent foreign module units whose shape signatures
+    are identical — their pairing is order-sensitive and shape matching
+    alone cannot verify it (two same-shape layers registered in swapped
+    order would map crosswise). `complete` is True only when every twin key
+    matched AND no such ambiguity exists; callers that have verified the
+    foreign net's registration order follows its data flow can inspect
+    `mapping` and proceed deliberately (`allow_ambiguous=True` in
+    `flax_from_foreign_state`).
     """
     import numpy as np  # noqa: F811
 
@@ -196,11 +238,15 @@ def propose_name_map(
             j += 1
     un_f += [k for k, _ in foreign[i:]]
     un_t += [k for k, _ in expected[j:]]
+    ambiguous = _ambiguous_unit_pairs(
+        [(k, s) for k, s in foreign if k in mapping]
+    )
     return {
         "mapping": mapping,
         "unmatched_foreign": un_f,
         "unmatched_twin": un_t,
-        "complete": not un_t,
+        "ambiguous": ambiguous,
+        "complete": not un_t and not ambiguous,
     }
 
 
@@ -208,22 +254,37 @@ def flax_from_foreign_state(
     state_dict: Mapping[str, Any],
     cfg: ModelConfig,
     name_map=None,
+    allow_ambiguous: bool = False,
 ) -> Dict[str, Any]:
     """Port a foreign (non-twin-named) torch state_dict.
 
     With `name_map` (declarative (regex, replacement) rules) the keys are
     rewritten to the twin contract; without it, `propose_name_map` aligns by
     shape/order and raises with a readable report if the alignment is
-    incomplete (silent partial loads are how parity dies)."""
+    incomplete OR order-ambiguous (silent partial loads and silently crossed
+    same-shape weights are how parity dies). `allow_ambiguous=True` accepts
+    an alignment whose only defect is adjacent identical-signature units —
+    use it only after verifying the foreign net registers its modules in
+    data-flow order."""
     if name_map is not None:
         return flax_from_torch_state(apply_name_map(state_dict, name_map), cfg)
     prop = propose_name_map(state_dict, cfg)
-    if not prop["complete"]:
+    if prop["unmatched_twin"]:
         raise ValueError(
             "shape/order auto-mapping incomplete:\n"
             f"  unmatched twin keys:    {prop['unmatched_twin'][:10]}\n"
             f"  unmatched foreign keys: {prop['unmatched_foreign'][:10]}\n"
             "Provide an explicit name_map=[(regex, replacement), ...]."
+        )
+    if prop["ambiguous"] and not allow_ambiguous:
+        raise ValueError(
+            "shape/order auto-mapping is order-AMBIGUOUS: these adjacent "
+            "units have identical shape signatures, so a swapped "
+            "registration order would port crosswise undetected:\n  "
+            + "\n  ".join(f"{a} <-> {b}" for a, b in prop["ambiguous"][:10])
+            + "\nVerify the foreign net's registration order follows its "
+            "data flow, then pass allow_ambiguous=True (or provide an "
+            "explicit name_map)."
         )
     renamed = {
         prop["mapping"][k]: v
@@ -234,7 +295,11 @@ def flax_from_foreign_state(
 
 
 def load_torch_pth(
-    path: str, cfg: ModelConfig, name_map=None, auto_map: bool = False
+    path: str,
+    cfg: ModelConfig,
+    name_map=None,
+    auto_map: bool = False,
+    allow_ambiguous: bool = False,
 ) -> Dict[str, Any]:
     """Load a `.pth` checkpoint file and port it.
 
@@ -253,5 +318,7 @@ def load_torch_pth(
                 ckpt = ckpt[key]
                 break
     if name_map is not None or auto_map:
-        return flax_from_foreign_state(ckpt, cfg, name_map=name_map)
+        return flax_from_foreign_state(
+            ckpt, cfg, name_map=name_map, allow_ambiguous=allow_ambiguous
+        )
     return flax_from_torch_state(ckpt, cfg)
