@@ -112,3 +112,118 @@ def test_detector_constructed_with_s2d_stem_from_scratch():
         np.zeros((64, 64, 3), np.uint8), score_thresh=-1.0
     )
     assert out.boxes.shape[1] == 4 and np.isfinite(out.scores).all()
+
+
+def test_stem_bake_parity_and_flag():
+    """stem_bake folds BGR flip + /255 + mean/std into the stem conv;
+    detect results must match the unbaked pipeline within float tolerance
+    on BOTH the identity and the resize path (VERDICT r2 task-1 lever a)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from tpucenterface.config import DetectorConfig, ModelConfig
+    from tpucenterface.detector import Detector
+    from tpucenterface.model.centernet import init_model
+
+    cfgA = DetectorConfig(
+        model=ModelConfig(compute_dtype="float32"), default_size=64
+    )
+    cfgB = dataclasses.replace(
+        cfgA,
+        preprocess=dataclasses.replace(cfgA.preprocess, stem_bake=False),
+    )
+    _, raw_vars = init_model(cfgA.model, rng=jax.random.PRNGKey(0))
+    detA = Detector(variables=raw_vars, config=cfgA)
+    detB = Detector(variables=raw_vars, config=cfgB)
+    assert detA.config.model.stem_preprocess
+    assert not detB.config.model.stem_preprocess
+    # Compare the HEAD MAPS through both input conventions (decode is the
+    # same code after that; random-weight score near-ties make box-level
+    # comparison ill-posed). Covers the identity path (raw normalize) and
+    # the letterbox resize path.
+    import jax.numpy as jnp
+
+    from tpucenterface.preprocess import (
+        letterbox_normalize_batch,
+        normalize_images,
+    )
+
+    rng = np.random.RandomState(1)
+    img64 = jnp.asarray(rng.randint(0, 255, (1, 64, 64, 3), np.uint8))
+    fa = detA._forward(normalize_images(img64, cfgA.preprocess, raw=True))
+    fb = detB._forward(normalize_images(img64, cfgB.preprocess, raw=False))
+    for k in fa:
+        np.testing.assert_allclose(
+            np.asarray(fa[k]), np.asarray(fb[k]), atol=2e-3, err_msg=k
+        )
+    imgs = jnp.asarray(rng.randint(0, 255, (1, 40, 56, 3), np.uint8))
+    hws = jnp.asarray(np.array([[40, 56]], np.int32))
+    xa, _, _ = letterbox_normalize_batch(imgs, hws, 64, cfgA.preprocess, raw=True)
+    xb, _, _ = letterbox_normalize_batch(imgs, hws, 64, cfgB.preprocess, raw=False)
+    fa = detA._forward(xa)
+    fb = detB._forward(xb)
+    for k in fa:
+        np.testing.assert_allclose(
+            np.asarray(fa[k]), np.asarray(fb[k]), atol=2e-3, err_msg=k
+        )
+
+
+def test_bake_preprocess_into_stem_exact_math():
+    """Isolated bake math vs flip+normalize+conv, f64, including the
+    zero-padded borders (the shared zero point makes them exact)."""
+    import jax.lax as lax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpucenterface.config import PreprocessConfig
+    from tpucenterface.weights.fold import (
+        bake_preprocess_into_stem,
+        raw_pixel_offset,
+    )
+
+    pp = PreprocessConfig()
+    rng = np.random.RandomState(0)
+    K = rng.randn(3, 3, 3, 8)
+    b = rng.randn(8)
+    u = rng.randint(0, 255, (1, 10, 10, 3)).astype(np.float64)  # raw BGR
+
+    conv = lambda z, k: lax.conv_general_dilated(
+        jnp.asarray(z), jnp.asarray(k), (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    mean = np.array(pp.mean) * 255.0
+    std = np.array(pp.std) * 255.0
+    ref = np.asarray(conv((u[..., ::-1] - mean) / std, K)) + b
+
+    baked = bake_preprocess_into_stem({"kernel": K, "bias": b}, pp)
+    x = u - raw_pixel_offset(pp)
+    got = np.asarray(
+        conv(x, np.asarray(baked["kernel"], np.float64))
+    ) + np.asarray(baked["bias"], np.float64)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_detector_max_dets_override():
+    """_batch_fn(max_dets=...) compiles a serving-profile program whose
+    top-K results are the head of the default program's K=bigger list."""
+    import jax
+    import numpy as np
+
+    from tpucenterface.config import DetectorConfig, ModelConfig
+    from tpucenterface.detector import Detector
+
+    cfg = DetectorConfig(
+        model=ModelConfig(compute_dtype="float32"), default_size=64
+    )
+    det = Detector(config=cfg, rng=jax.random.PRNGKey(0))
+    rng = np.random.RandomState(2)
+    imgs = rng.randint(0, 255, (2, 64, 64, 3), np.uint8)
+    hws = np.tile(np.array([[64, 64]], np.int32), (2, 1))
+    full = det._batch_fn(2, (64, 64), 64)(imgs, hws)
+    small = det._batch_fn(2, (64, 64), 64, max_dets=16)(imgs, hws)
+    assert np.asarray(small[1]).shape == (2, 16)
+    np.testing.assert_allclose(
+        np.asarray(small[1]), np.asarray(full[1])[:, :16], atol=1e-6
+    )

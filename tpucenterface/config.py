@@ -78,6 +78,14 @@ class ModelConfig:
     # (s2d_stem=True) and an even input size; the Detector applies it
     # automatically.
     s2d_stem: bool = False
+    # Inference input convention: True when the input normalization
+    # (BGR->RGB flip and /std) has been baked into the folded stem conv
+    # (weights.fold.bake_preprocess_into_stem), so programs feed the model
+    # mean-centered raw pixels `u - 255*mean` instead of normalized
+    # activations (the shared zero point makes the bake exact including the
+    # stem conv's zero-padded borders). Set automatically by the Detector at
+    # fold time (PreprocessConfig.stem_bake); False for training/unfolded.
+    stem_preprocess: bool = False
     # Inference forward implementation once weights are folded:
     # 'flax' (default) = the flax modules; 'planar' =
     # model.planar_engine.PlanarEngine (hand-rolled XLA graph of the same
@@ -157,6 +165,14 @@ class PreprocessConfig:
     # f32 reference path used by strict-parity tests.
     resize_impl: str = "matmul"
     resize_dtype: str = "bfloat16"
+    # Bake the normalize (BGR flip + std) into the folded stem conv at
+    # Detector construction (weights.fold.bake_preprocess_into_stem):
+    # programs then feed mean-centered raw pixels `u - 255*mean`. Exact in
+    # real arithmetic (including conv borders — the zero point is shared);
+    # kills the standalone normalize pass on the (B, H, W, 3) input and
+    # gives the int8 engine's stem a fixed calibration-free input scale.
+    # Requires a 3-channel stem at fold time (s2d-prebuilt models skip it).
+    stem_bake: bool = True
     # Host-side dispatch to an identity-preprocess program (normalize only,
     # no resample) when every image in a call is exactly the model size —
     # the letterbox is scale=1/pad=0 there. MEASURED e2e-NEUTRAL on v5e

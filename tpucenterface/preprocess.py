@@ -67,6 +67,7 @@ def letterbox_normalize_matmul(
     hws: jnp.ndarray,
     size: int,
     cfg: PreprocessConfig,
+    raw: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched letterbox as two MXU matmuls (the TPU hot path).
 
@@ -75,6 +76,11 @@ def letterbox_normalize_matmul(
     resample itself is einsum over rows then columns — measured 6.5x faster
     than per-image scale_and_translate at bs32 (see bench/timing.py for why
     naive timings lied about this).
+
+    raw=True (stem_preprocess models): no BGR flip, no std division — emit
+    `resampled - 255*mean` (mean-centered raw scale) in the original channel
+    order; the stem conv carries the rest of the normalize
+    (weights.fold.bake_preprocess_into_stem).
     """
     b, hp, wp, _ = imgs_u8.shape
     dtype = jnp.dtype(cfg.resize_dtype)
@@ -82,7 +88,7 @@ def letterbox_normalize_matmul(
     wy = _bilinear_rows(hp, size, pad_y, s, dtype)
     wx = _bilinear_rows(wp, size, pad_x, s, dtype)
     x = imgs_u8.astype(dtype)
-    if cfg.bgr_input:
+    if cfg.bgr_input and not raw:
         x = x[..., ::-1]
     y = jnp.einsum("bsh,bhwc->bswc", wy, x, preferred_element_type=jnp.float32)
     # Emit the second contraction in (c, b, s, t) order and transpose back
@@ -93,15 +99,25 @@ def letterbox_normalize_matmul(
     y = jnp.einsum(
         "btw,bswc->cbst", wx, y.astype(dtype), preferred_element_type=jnp.float32
     )
-    mean = (jnp.asarray(cfg.mean, jnp.float32) * 255.0).reshape(3, 1, 1, 1)
-    std = (jnp.asarray(cfg.std, jnp.float32) * 255.0).reshape(3, 1, 1, 1)
-    x = ((y - mean) / std).astype(dtype).transpose(1, 2, 3, 0)
+    if raw:
+        from tpucenterface.weights.fold import raw_pixel_offset
+
+        off = jnp.asarray(raw_pixel_offset(cfg), jnp.float32).reshape(3, 1, 1, 1)
+        x = (y - off).astype(dtype).transpose(1, 2, 3, 0)
+    else:
+        mean = (jnp.asarray(cfg.mean, jnp.float32) * 255.0).reshape(3, 1, 1, 1)
+        std = (jnp.asarray(cfg.std, jnp.float32) * 255.0).reshape(3, 1, 1, 1)
+        x = ((y - mean) / std).astype(dtype).transpose(1, 2, 3, 0)
     return x, s, jnp.stack([pad_x, pad_y], axis=-1)
 
 
-def normalize_images(imgs_u8: jnp.ndarray, cfg: PreprocessConfig) -> jnp.ndarray:
+def normalize_images(
+    imgs_u8: jnp.ndarray, cfg: PreprocessConfig, raw: bool = False
+) -> jnp.ndarray:
     """Exact preprocess for inputs already at the model size: BGR->RGB +
-    mean/std normalize, NO resample.
+    mean/std normalize, NO resample. raw=True (stem_preprocess models):
+    just `pixel - 255*mean` (input channel order) — one subtract XLA fuses
+    into the consumer; the stem conv carries the flip and std.
 
     For an (..., size, size, 3) input the letterbox is scale=1 / pad=0 — a
     mathematical identity — so the two resize contractions (dense bilinear
@@ -114,6 +130,11 @@ def normalize_images(imgs_u8: jnp.ndarray, cfg: PreprocessConfig) -> jnp.ndarray
     rounding on pre-sized inputs.
     """
     dtype = jnp.dtype(cfg.resize_dtype)
+    if raw:
+        from tpucenterface.weights.fold import raw_pixel_offset
+
+        off = jnp.asarray(raw_pixel_offset(cfg), jnp.float32)
+        return (imgs_u8.astype(jnp.float32) - off).astype(dtype)
     x = imgs_u8.astype(jnp.float32)
     if cfg.bgr_input:
         x = x[..., ::-1]
@@ -127,6 +148,7 @@ def letterbox_normalize(
     hw: jnp.ndarray,
     size: int,
     cfg: PreprocessConfig,
+    raw: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Letterbox one padded uint8 image to (size, size) and normalize. Traceable.
 
@@ -141,13 +163,13 @@ def letterbox_normalize(
     """
     if cfg.resize_impl == "matmul":
         x, s, pads = letterbox_normalize_matmul(
-            img_u8[None], hw[None], size, cfg
+            img_u8[None], hw[None], size, cfg, raw=raw
         )
         return x[0], s[0], pads[0]
     s, pad_x, pad_y = _letterbox_params(hw, size, cfg)
 
     x = img_u8.astype(jnp.float32)
-    if cfg.bgr_input:
+    if cfg.bgr_input and not raw:
         x = x[..., ::-1]
     # Letterbox: input pixel i maps to output i*s + pad. Outside samples are 0
     # (black borders), matching a host-side zero-fill letterbox.
@@ -160,9 +182,14 @@ def letterbox_normalize(
         method=cfg.method,
         antialias=False,  # match cv2.resize(INTER_LINEAR); UNVERIFIED-vs-reference
     )
-    mean = jnp.asarray(cfg.mean, jnp.float32)
-    std = jnp.asarray(cfg.std, jnp.float32)
-    x = (x / 255.0 - mean) / std
+    if raw:
+        from tpucenterface.weights.fold import raw_pixel_offset
+
+        x = x - jnp.asarray(raw_pixel_offset(cfg), jnp.float32)
+    else:
+        mean = jnp.asarray(cfg.mean, jnp.float32)
+        std = jnp.asarray(cfg.std, jnp.float32)
+        x = (x / 255.0 - mean) / std
     return x, s, jnp.stack([pad_x, pad_y])
 
 
@@ -171,6 +198,7 @@ def letterbox_normalize_batch(
     hws: jnp.ndarray,
     size: int,
     cfg: PreprocessConfig,
+    raw: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """vmapped letterbox for a batch of same-padded-shape images.
 
@@ -178,7 +206,7 @@ def letterbox_normalize_batch(
     Returns x (B, size, size, 3), scales (B,), pads (B, 2).
     """
     if cfg.resize_impl == "matmul":
-        return letterbox_normalize_matmul(imgs_u8, hws, size, cfg)
-    return jax.vmap(lambda im, hw: letterbox_normalize(im, hw, size, cfg))(
-        imgs_u8, hws
-    )
+        return letterbox_normalize_matmul(imgs_u8, hws, size, cfg, raw=raw)
+    return jax.vmap(
+        lambda im, hw: letterbox_normalize(im, hw, size, cfg, raw=raw)
+    )(imgs_u8, hws)

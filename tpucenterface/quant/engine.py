@@ -49,8 +49,12 @@ class QuantEngine:
     ):
         """int8_dw: also quantize the depthwise convs (int8 x int8 -> int32
         on the VPU) and chain expand->dw->project in int8 — halves the
-        traffic of the 6x-expanded tensors at a second activation-quant
-        accuracy cost. Measured ledger in PERFORMANCE.md."""
+        traffic of the 6x-expanded tensors. A depthwise conv never mixes
+        channels, so its activation quantization is PER-CHANNEL (each
+        channel gets its own calibrated scale, composing exactly with the
+        per-channel weight scales in the epilogue) — this removes most of
+        the second-quantization error that sank the round-2 per-tensor
+        variant (8-12% head-map error -> ~1-2%)."""
         self.cfg = cfg
         self.int8_dw = int8_dw
         self.p = jax.tree.map(jnp.asarray, folded_variables["params"])
@@ -70,6 +74,16 @@ class QuantEngine:
         self.plan = backbone_plan(cfg)
         self.act_scales: Optional[Dict[str, float]] = None
         self._amax: Dict[str, float] = {}
+        self.pp_cfg = None  # set by Detector.quantize for stem_preprocess
+
+    def _stem_fixed_scale(self) -> float:
+        """Fixed int8 scale of the stem's `pixel - 255*mean` input."""
+        mean = np.asarray(
+            self.pp_cfg.mean if self.pp_cfg is not None else (0.5, 0.5, 0.5),
+            np.float64,
+        ) * 255.0
+        amax = float(np.max(np.maximum(mean, 255.0 - mean)))
+        return amax / 127.0
 
     # ------------------------------------------------------------------ #
 
@@ -101,16 +115,35 @@ class QuantEngine:
         kh = k.shape[0]
         pad = (kh - 1) // 2
         quantize = mode == "quant" and (groups == 1 or self.int8_dw)
+        # depthwise convs never mix channels -> per-channel activation quant
+        per_channel = groups > 1 and self.int8_dw
         if mode == "calibrate":
             # traced: collected into the jitted calibration forward's output
             # (one device fetch per BATCH instead of one blocking sync per
             # conv — ~60 relay round trips saved per calibration batch)
-            self._amax_collector[tag] = jnp.max(jnp.abs(x))
+            self._amax_collector[tag] = (
+                jnp.max(jnp.abs(x), axis=(0, 1, 2))
+                if per_channel
+                else jnp.max(jnp.abs(x))
+            )
         if quantize:
-            sx = jnp.float32(self.act_scales[tag] / 127.0)
-            if x.dtype == jnp.int8:
+            if tag == "stem" and self.cfg.stem_preprocess:
+                # stem_preprocess models feed `pixel - 255*mean` raw-scale
+                # values: the range is FIXED by config constants
+                # (|x| <= max(255*mean, 255*(1-mean)) ~ 151), so the stem
+                # needs no calibration and its only activation error is the
+                # +-sx/2 (~0.6 raw unit) rounding; the whole u8 -> x -> int8
+                # chain is one fused elementwise pass writing the input at
+                # int8 width instead of bf16
+                sx = jnp.float32(self._stem_fixed_scale())
+                xq = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) / sx), -127, 127
+                ).astype(jnp.int8)
+            elif x.dtype == jnp.int8:
+                sx = self._act_scale(tag)
                 xq = x  # producer already emitted this conv's quantization
             else:
+                sx = self._act_scale(tag)
                 xq = jnp.clip(
                     jnp.round(x.astype(jnp.float32) / sx), -127, 127
                 ).astype(jnp.int8)
@@ -143,11 +176,20 @@ class QuantEngine:
         elif act == "relu":
             y = jnp.maximum(y, 0.0)
         if mode == "quant" and out_int8_tag is not None:
-            s_next = jnp.float32(self.act_scales[out_int8_tag] / 127.0)
+            s_next = self._act_scale(out_int8_tag)
             return jnp.clip(
                 jnp.round(y.astype(jnp.float32) / s_next), -127, 127
             ).astype(jnp.int8)
         return y.astype(out_dtype)
+
+    def _act_scale(self, tag: str):
+        """Calibrated activation scale for `tag`: scalar, or a per-channel
+        vector for depthwise inputs under int8_dw (broadcasts over the
+        trailing channel dim in both the quantize and epilogue positions)."""
+        s = self.act_scales[tag]
+        if isinstance(s, np.ndarray):
+            return jnp.asarray(s, jnp.float32) / 127.0
+        return jnp.float32(s / 127.0)
 
     # ------------------------------------------------------------------ #
 
@@ -229,7 +271,14 @@ class QuantEngine:
         for x in batches:
             amax = jax.device_get(jfwd(jnp.asarray(x)))
             for tag, v in amax.items():
-                self._amax[tag] = max(self._amax.get(tag, 0.0), float(v), 1e-6)
+                v = np.asarray(v, np.float64)
+                if v.ndim:  # per-channel (depthwise under int8_dw)
+                    prev = self._amax.get(tag, 0.0)
+                    self._amax[tag] = np.maximum(np.maximum(v, prev), 1e-6)
+                else:
+                    self._amax[tag] = max(
+                        self._amax.get(tag, 0.0), float(v), 1e-6
+                    )
         self.act_scales = dict(self._amax)
         return self.act_scales
 

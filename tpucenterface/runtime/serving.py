@@ -97,6 +97,7 @@ class ServingEngine:
         inflight: int = 2,
         mesh=None,
         batch_ladder: Optional[Sequence[int]] = None,
+        max_dets: Optional[int] = None,
     ):
         if device_batch < 1:
             raise ValueError("device_batch must be >= 1")
@@ -125,6 +126,9 @@ class ServingEngine:
                     f"{self._nd}-device mesh: {sorted(ladder)}"
                 )
         self.batch_ladder = tuple(sorted(ladder))
+        # serving decode profile: cap K below the eval default (200) —
+        # K=100 halves the top-k/gather cost (Detector._decode docstring)
+        self.max_dets = max_dets
         self._dp_cache: dict = {}
         self.det = detector
         self.padded_hw = tuple(padded_hw)
@@ -160,7 +164,8 @@ class ServingEngine:
     def _fn(self, batch: int, identity: bool = False):
         if self.mesh is None:
             return self.det._batch_fn(
-                batch, self.padded_hw, self.size, identity=identity
+                batch, self.padded_hw, self.size, identity=identity,
+                max_dets=self.max_dets,
             )
         # the detector bumps weights_version on reload/quantize/dequantize;
         # stale DP wrappers must not keep serving the old weights
@@ -177,7 +182,8 @@ class ServingEngine:
 
             wrapped = shard_batch_fn(
                 self.det._batch_fn(
-                    batch, self.padded_hw, self.size, identity=identity
+                    batch, self.padded_hw, self.size, identity=identity,
+                    max_dets=self.max_dets,
                 ),
                 self.mesh,
                 num_batch_args=2,
