@@ -4,10 +4,15 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the driver.
 vs_baseline is value / 5000 (BASELINE.json north star: >=5,000 img/s/chip on
 v5e). Runs on whatever jax.default_backend() provides — the real TPU chip
 under the driver. The full 5-config suite lives in tpucenterface/bench/.
+
+All headline fields are the MEDIAN of N passes with the min-max spread
+reported next to them (run-to-run spread on serving numbers is ~±2%;
+VERDICT r2 #8: deltas smaller than the spread must be attributable).
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,56 +34,79 @@ def main():
     rng = np.random.RandomState(0)
     imgs = rng.randint(0, 255, (batch, side, side, 3), np.uint8)
     hws = np.tile(np.array([[side, side]], np.int32), (batch, 1))
-    fn = det._batch_fn(batch, (side, side), side)
-
-    j_imgs = jnp.asarray(imgs)
-    j_hws = jnp.asarray(hws)
 
     def fifo_ips(fn_, im, hw, b, n):
         """Enqueue n launches, fetch one scalar of the LAST result: device
         execution is FIFO so that bounds all prior work (block_until_ready
-        is unreliable over the axon relay). Warmup/compile included once."""
-        _, scores = fn_(im, hw)
-        float(np.asarray(scores).sum())
+        is unreliable over the axon relay)."""
         t0 = time.perf_counter()
         for _ in range(n):
-            _, scores = fn_(im, hw)
+            _, scores = fn_(im, hw)[:2]
         float(np.asarray(scores).sum())
         return b * n / (time.perf_counter() - t0)
 
-    # 100 enqueued batches: at 30 the run-constant costs (first dispatches
-    # through the relay) depress the steady-state rate by ~5%
+    def median_ips(fn_, im, hw, b, n, passes):
+        """Warm/compile once, then median-of-`passes` FIFO measurements."""
+        _, scores = fn_(im, hw)[:2]
+        float(np.asarray(scores).sum())
+        vals = [fifo_ips(fn_, im, hw, b, n) for _ in range(passes)]
+        return vals
+
+    def stats(vals):
+        return (
+            round(statistics.median(vals), 2),
+            [round(min(vals), 2), round(max(vals), 2)],
+        )
+
+    # contract-literal bs32 @640 program (100 enqueued batches per pass: at
+    # 30 the run-constant relay dispatch costs depress steady state by ~5%)
     iters = int(os.environ.get("BENCH_ITERS", "100"))
-    ips = fifo_ips(fn, j_imgs, j_hws, batch, iters)
+    passes = int(os.environ.get("BENCH_PASSES", "5"))
+    fn = det._batch_fn(batch, (side, side), side)
+    j_imgs = jnp.asarray(imgs)
+    j_hws = jnp.asarray(hws)
+    ips, ips_spread = stats(median_ips(fn, j_imgs, j_hws, batch, iters, passes))
 
     # Serving mode: the same bs32 request stream dynamically coalesced into
     # bs128 device programs (tpucenterface/runtime/serving.py) — the measured
     # production path past the bs32 emitter wall (PERFORMANCE.md: ~7ms of the
     # bs32 program is batch-size-independent XLA conv-emitter lane fill;
     # every structural fix inside a bs32 program probed + measured closed).
-    # Reported as an extra field; `value` stays the contract-literal bs32
+    # Measured exactly as the ServingEngine launches it for pre-sized frames:
+    # identity preprocess (stem_bake carries the normalize), serving decode
+    # profile K=100, AUTO parameter layouts (inputs staged in the program's
+    # preferred layout, as ServingEngine._launch_inner stages them).
+    # Reported as extra fields; `value` stays the contract-literal bs32
     # program throughput.
-    dev_b = 128
-    j_imgs128 = jnp.asarray(np.tile(np.asarray(imgs), (dev_b // batch, 1, 1, 1)))
-    j_hws128 = jnp.asarray(np.tile(hws, (dev_b // batch, 1)))
+    dev_b, serve_k = 128, 100
+    imgs128 = np.tile(imgs, (dev_b // batch, 1, 1, 1))
+    hws128 = np.tile(hws, (dev_b // batch, 1))
     iters128 = max(1, (iters * batch) // dev_b)
-    serving_ips = fifo_ips(
-        det._batch_fn(dev_b, (side, side), side),
-        j_imgs128, j_hws128, dev_b, iters128,
-    )
+
+    def serving_vals():
+        fn_, fmts = det._batch_fn_auto(
+            dev_b, (side, side), side, identity=True, max_dets=serve_k
+        )
+        if fmts is not None:
+            im = jax.device_put(imgs128, fmts[0])
+            hw = jax.device_put(hws128, fmts[1])
+        else:
+            im, hw = jnp.asarray(imgs128), jnp.asarray(hws128)
+        return median_ips(fn_, im, hw, dev_b, iters128, passes)
+
+    serving_ips, serving_spread = stats(serving_vals())
 
     # opt-in W8A8 serving forward (Detector.quantize): loses at bs32, wins
-    # at bs>=128 where the int8 MXU rate dominates the unfused q/dq chains
-    # (measured ledger in PERFORMANCE.md; accuracy ~1% of head-map range,
-    # NOT the parity path). Guarded: the headline JSON must survive an int8
-    # failure on any backend.
-    serving_int8_ips = None
+    # at bs>=128 where the int8 MXU rate dominates (measured ledger in
+    # PERFORMANCE.md). int8_dw=True: depthwise convs int8 too, with
+    # per-channel activation scales; task-level accuracy pinned by
+    # tests/test_integration.py (int8 AND int8_dw AP within 0.1 of float AP
+    # on a trained model). NOT the parity path. Guarded: the headline JSON
+    # must survive an int8 failure on any backend.
+    serving_int8 = serving_int8_spread = None
     try:
-        det.quantize(calib_images=imgs[:8])
-        serving_int8_ips = fifo_ips(
-            det._batch_fn(dev_b, (side, side), side),
-            j_imgs128, j_hws128, dev_b, iters128,
-        )
+        det.quantize(calib_images=imgs[:8], int8_dw=True)
+        serving_int8, serving_int8_spread = stats(serving_vals())
     except Exception as e:
         print(f"# int8 serving measurement skipped: {e}", file=sys.stderr)
     finally:
@@ -88,19 +116,28 @@ def main():
         json.dumps(
             {
                 "metric": "images/sec/chip @640x640 bs32 fused",
-                "value": round(ips, 2),
+                "value": ips,
                 "unit": "img/s",
                 "vs_baseline": round(ips / 5000.0, 4),
-                "serving_coalesced_img_s": round(serving_ips, 2),
-                "serving_int8_img_s": (
-                    round(serving_int8_ips, 2)
-                    if serving_int8_ips is not None
+                "value_spread": ips_spread,
+                "serving_coalesced_img_s": serving_ips,
+                "serving_coalesced_spread": serving_spread,
+                "serving_int8_img_s": serving_int8,
+                "serving_int8_spread": serving_int8_spread,
+                "serving_int8_vs_baseline": (
+                    round(serving_int8 / 5000.0, 4)
+                    if serving_int8 is not None
                     else None
                 ),
                 "serving_note": "bs32 request stream dynamically coalesced "
-                "to bs128 device programs (runtime/serving.py); same fused "
-                "pipeline, measured with the same FIFO barrier; int8 = "
-                "opt-in W8A8 PTQ serving forward (Detector.quantize)",
+                "to bs128 device programs (runtime/serving.py) exactly as "
+                "ServingEngine launches them: identity preprocess "
+                "(stem-baked normalize), decode K=100 serving profile, AUTO "
+                "input layouts; int8 = opt-in W8A8 PTQ forward with "
+                "per-channel int8 depthwise (Detector.quantize(int8_dw)), "
+                "AP pinned within 0.1 of float by tests/test_integration.py; "
+                "all fields median-of-%d passes with [min,max] spread"
+                % passes,
             }
         )
     )

@@ -71,7 +71,7 @@ def test_batch_flip_fn_matches_host_flip():
     k = np.asarray(out_b).shape[1] // 2
     mir_boxes = np.asarray(out_b)[0, k:]
     mir_scores = np.asarray(out_s)[0, k:]
-    hb, hs = flip_detect(det, img, score_thresh=-1.0, size=64)
+    hb, hs = flip_detect(det, img, score_thresh=-1.0, size=64)[:2]
     np.testing.assert_allclose(mir_scores, hs, atol=1e-4)
     np.testing.assert_allclose(mir_boxes, hb, atol=0.51)  # bf16-free cpu: tight
     # and the first half equals plain detect
@@ -96,11 +96,11 @@ def test_batched_detect_tta_matches_per_image():
         det, imgs, scales=(0.5, 1.0), flip=True, score_thresh=0.1,
         nms_thresh=0.4, batch_size=4,
     )
-    for img, (bb, bs) in zip(imgs, batched):
+    for img, (bb, bs, _) in zip(imgs, batched):
         pb, ps = detect_tta(
             det, img, scales=(0.5, 1.0), flip=True, score_thresh=0.1,
             nms_thresh=0.4,
-        )
+        )[:2]
         assert len(bs) == len(ps), (len(bs), len(ps))
         np.testing.assert_allclose(bs, ps, atol=1e-3)
         np.testing.assert_allclose(bb, pb, atol=0.6)

@@ -22,7 +22,7 @@ def _det():
 def test_flip_detect_unmirrors_boxes():
     det = _det()
     img = np.random.RandomState(0).randint(0, 255, (64, 96, 3), np.uint8)
-    boxes, scores = flip_detect(det, img, score_thresh=0.0, size=64)
+    boxes, scores = flip_detect(det, img, score_thresh=0.0, size=64)[:2]
     assert (boxes[:, 0] <= boxes[:, 2]).all()
     assert boxes[:, 2].max() <= 96 + 1e-3
 
@@ -32,7 +32,7 @@ def test_detect_tta_merges_and_bounds():
     img = np.random.RandomState(1).randint(0, 255, (48, 80, 3), np.uint8)
     boxes, scores = detect_tta(
         det, img, scales=(0.5, 1.0), flip=True, score_thresh=0.0, nms_thresh=0.4
-    )
+    )[:2]
     assert len(boxes) == len(scores)
     assert np.all(np.diff(scores) <= 1e-6)          # score-descending
     assert boxes[:, 2].max() <= 80 + 1e-3 and boxes[:, 3].max() <= 48 + 1e-3
@@ -48,21 +48,110 @@ def test_detect_tta_merges_and_bounds():
 def test_detect_tta_respects_max_dets():
     det = _det()
     img = np.random.RandomState(2).randint(0, 255, (64, 64, 3), np.uint8)
-    boxes, _ = detect_tta(
+    boxes = detect_tta(
         det, img, scales=(1.0,), flip=True, score_thresh=0.0, max_dets=5
-    )
+    ).boxes
     assert len(boxes) <= 5
 
 
 def test_flip_unmirror_exact_mapping():
     """img[:, ::-1] maps pixel x -> w-1-x; the un-mirror must invert exactly."""
 
+    from tpucenterface.detector import Detections
+
     class Fake:
         def detect(self, img, **kw):
-            return np.array([[10.0, 5.0, 20.0, 15.0]]), np.array([0.9])
+            return Detections(
+                np.array([[10.0, 5.0, 20.0, 15.0]]), np.array([0.9]), None
+            )
 
     w = 100
     img = np.zeros((50, w, 3), np.uint8)
-    boxes, scores = flip_detect(Fake(), img)
+    boxes, scores = flip_detect(Fake(), img)[:2]
     assert np.allclose(boxes[0], [w - 1 - 20.0, 5.0, w - 1 - 10.0, 15.0])
     assert scores[0] == 0.9
+
+
+def _lm_det():
+    return Detector(
+        config=DetectorConfig(
+            model=ModelConfig(compute_dtype="float32", with_landmarks=True),
+            buckets=(64, 96),
+            default_size=64,
+        ),
+        rng=jax.random.PRNGKey(5),
+    )
+
+
+def test_batch_flip_fn_carries_landmarks():
+    """VERDICT r2 #5: the device-side flip program must un-mirror landmark
+    x and swap left/right point pairs; its mirror-half results must equal
+    the host-side flip_detect transform of a detect() on the mirror."""
+    det = _lm_det()
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    K = det.config.decode.max_dets
+    out = det._batch_flip_fn(1, (64, 64), 64)(
+        img[None], np.array([[64, 64]], np.int32)
+    )
+    assert len(out) == 3
+    boxes = np.asarray(out[0])[0]
+    scores = np.asarray(out[1])[0]
+    lms = np.asarray(out[2])[0]
+    assert lms.shape == (2 * K, 5, 2)
+
+    # first half == plain detect on the image
+    direct = det.detect(img, score_thresh=-1.0)
+    np.testing.assert_allclose(scores[:K], direct.scores, atol=1e-5)
+    np.testing.assert_allclose(lms[:K], direct.landmarks, atol=2e-3)
+
+    # second half == host-side flip_detect (mirror, detect, un-mirror+swap)
+    from tpucenterface.eval.tta import flip_detect
+
+    fd = flip_detect(det, img, score_thresh=-1.0, size=64)
+    np.testing.assert_allclose(np.sort(scores[K:]), np.sort(fd.scores), atol=1e-5)
+    # align by score (flip program and host path may order ties differently)
+    for i in range(10):
+        j = int(np.argmin(np.abs(fd.scores - scores[K + i])))
+        np.testing.assert_allclose(lms[K + i], fd.landmarks[j], atol=2e-2)
+
+
+def test_detect_tta_returns_landmarks():
+    det = _lm_det()
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 255, (48, 80, 3), np.uint8)
+    d = detect_tta(det, img, scales=(1.0,), flip=True, score_thresh=0.0)
+    assert d.landmarks is not None
+    assert d.landmarks.shape == (len(d.scores), 5, 2)
+    # points inside the original image bounds (landmarks_to_original clips)
+    assert d.landmarks[..., 0].max() <= 80 + 1e-3
+    assert d.landmarks[..., 1].max() <= 48 + 1e-3
+    # non-landmark models still return None
+    d2 = detect_tta(_det(), img, scales=(1.0,), flip=True, score_thresh=0.0)
+    assert d2.landmarks is None
+
+
+def test_flip_landmark_perm_roundtrip():
+    """Flipping twice (host transform applied twice) restores the layout:
+    the perm must be an involution."""
+    from tpucenterface.config import DecodeConfig
+
+    perm = list(DecodeConfig().lm_flip_perm)
+    assert [perm[p] for p in perm] == list(range(5))
+
+
+def test_batched_detect_tta_landmarks_match_per_image():
+    from tpucenterface.eval.batch_runner import batched_detect_tta
+
+    det = _lm_det()
+    rng = np.random.RandomState(9)
+    imgs = [rng.randint(0, 255, (48, 80, 3), np.uint8) for _ in range(3)]
+    batched = batched_detect_tta(
+        det, imgs, scales=(1.0,), flip=True, score_thresh=0.3, batch_size=2
+    )
+    for img, bd in zip(imgs, batched):
+        pd = detect_tta(det, img, scales=(1.0,), flip=True, score_thresh=0.3)
+        assert (bd.landmarks is None) == (pd.landmarks is None)
+        if bd.landmarks is not None and len(bd.scores) and len(pd.scores):
+            np.testing.assert_allclose(bd.scores, pd.scores, atol=1e-4)
+            np.testing.assert_allclose(bd.landmarks, pd.landmarks, atol=0.1)

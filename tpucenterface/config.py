@@ -134,6 +134,12 @@ class DecodeConfig:
     # remains available for study/fallback (see decode/pallas_decode.py) and
     # is property-tested against the golden.
     use_pallas: bool = False
+    # Left/right landmark index swap under horizontal mirror, for the
+    # CenterFace-style 5-point layout [left_eye, right_eye, nose,
+    # left_mouth_corner, right_mouth_corner]: eyes swap, nose stays, mouth
+    # corners swap. UNVERIFIED-vs-reference (point ORDER is a checkpoint
+    # convention; fix here if the real tree differs).
+    lm_flip_perm: Tuple[int, ...] = (1, 0, 2, 4, 3)
     # Two-stage exact-by-value top-k (decode.reference.topk_2stage): measured
     # 0.79ms -> ~0.25ms at bs32 @640 K=200 on v5e. Identical values/indices
     # to lax.top_k except the ORDER of exactly-tied scores; set False for

@@ -435,15 +435,59 @@ class Detector:
 
         return self._get_or_build(key, build)
 
+    def _batch_fn_auto(
+        self,
+        batch: int,
+        padded_hw: Tuple[int, int],
+        size: int,
+        identity: bool = False,
+        max_dets: Optional[int] = None,
+    ):
+        """Like `_batch_fn`, but compiled with XLA-chosen (AUTO) parameter
+        layouts. Returns (callable, input_formats_or_None).
+
+        The stem convolution prefers a (B, C, H, W)-tiled input layout; with
+        default (row-major) parameter layouts the program relayouts the
+        157MB/launch uint8 batch in-program (measured 0.4ms at bs128 @640).
+        AUTO layouts move that relayout into the host->device transfer
+        (jax.device_put with the returned format), off the compute-critical
+        path of a pipelined serving loop. Falls back to the plain program
+        (formats None) when the backend/API doesn't support it.
+        """
+        key = ("batch_auto", batch, padded_hw, size, identity, max_dets)
+
+        def build():
+            fn = self._batch_fn(
+                batch, padded_hw, size, identity=identity, max_dets=max_dets
+            )
+            try:
+                from jax.experimental.layout import Format, Layout
+
+                auto = Format(Layout.AUTO)
+                compiled = jax.jit(
+                    lambda im, hw: fn(im, hw), in_shardings=(auto, auto)
+                ).lower(
+                    jax.ShapeDtypeStruct((batch, *padded_hw, 3), jnp.uint8),
+                    jax.ShapeDtypeStruct((batch, 2), jnp.int32),
+                ).compile()
+                return (compiled, tuple(compiled.input_formats[0]))
+            except Exception:  # pragma: no cover - backend without layouts
+                return (fn, None)
+
+        return self._get_or_build(key, build)
+
     def _batch_flip_fn(self, batch: int, padded_hw: Tuple[int, int], size: int):
         """Batched detect computing the image AND its horizontal mirror in ONE
         jitted program (flip-TTA without a second dispatch): the letterboxed
         square is mirrored device-side, both halves run through one 2B-batch
         forward, and the mirror's boxes are un-mirrored before the inverse
         letterbox. Requires a centered letterbox (pad_x symmetric), which is
-        asserted at build time. Returns (boxes (B, 2K, 4), scores (B, 2K)) —
-        the first K from the image, the second K from its mirror; the caller
-        NMS-merges. SURVEY.md §3.3 hot loop #3 made TPU-shaped.
+        asserted at build time. Returns (boxes (B, 2K, 4), scores (B, 2K)[,
+        landmarks (B, 2K, 5, 2)]) — the first K from the image, the second K
+        from its mirror; the caller NMS-merges. Landmark models carry their
+        points through: the mirror half's x is un-mirrored device-side and
+        the left/right point pairs swapped (DecodeConfig.lm_flip_perm).
+        SURVEY.md §3.3 hot loop #3 made TPU-shaped.
         """
         assert self.config.preprocess.center, "device flip needs centered letterbox"
         key = ("batch_flip", batch, padded_hw, size)
@@ -457,7 +501,7 @@ class Detector:
                 )
                 x2 = jnp.concatenate([x, x[:, :, ::-1]], axis=0)
                 feats = self._forward(x2)
-                boxes, scores, _ = self._decode(feats)
+                boxes, scores, lm = self._decode(feats)
                 b_orig, b_mir = boxes[:batch], boxes[batch:]
                 # mirror of the model-input square: pixel x -> (size-1) - x
                 x1 = (size - 1.0) - b_mir[..., 2]
@@ -472,7 +516,21 @@ class Detector:
                 all_boxes = jax.vmap(boxes_to_original)(
                     all_boxes, scales, pads, hws
                 )
-                return all_boxes, all_scores
+                if lm is None:
+                    return all_boxes, all_scores
+                from tpucenterface.decode.reference import landmarks_to_original
+
+                lm_orig, lm_mir = lm[:batch], lm[batch:]
+                # un-mirror point x, then swap left/right point pairs
+                perm = list(self.config.decode.lm_flip_perm)
+                lm_mir = jnp.stack(
+                    [(size - 1.0) - lm_mir[..., 0], lm_mir[..., 1]], axis=-1
+                )[:, :, perm, :]
+                all_lm = jnp.concatenate([lm_orig, lm_mir], axis=1)
+                all_lm = jax.vmap(landmarks_to_original)(
+                    all_lm, scales, pads, hws
+                )
+                return all_boxes, all_scores, all_lm
 
             return run
 

@@ -80,12 +80,15 @@ def batched_detect_tta(
     Per (scale) each image maps to a model-input bucket; work is grouped by
     (padded shape, bucket) and dispatched as fixed-size batches. The flip
     variant runs INSIDE the same jitted program (Detector._batch_flip_fn
-    mirrors the letterboxed square device-side), so flip costs one batched
-    forward, not a second dispatch. Host work is only the final per-image
-    NMS merge. Returns per-image (boxes, scores), score-descending.
+    mirrors the letterboxed square device-side, un-mirroring boxes AND
+    landmarks), so flip costs one batched forward, not a second dispatch.
+    Host work is only the final per-image NMS merge. Returns a per-image
+    `Detections` (tuple-compatible), score-descending; landmark models
+    keep each surviving detection's points.
     """
     import jax.numpy as jnp
 
+    from tpucenterface.detector import Detections
     from tpucenterface.eval.tta import nms, pick_bucket
 
     buckets = detector.config.buckets
@@ -105,6 +108,7 @@ def batched_detect_tta(
         groups.setdefault(padded[i].shape[:2], []).append(i)
 
     parts: List[List[np.ndarray]] = [[] for _ in images]
+    lm_parts: List[List] = [[] for _ in images]
     for shape, idxs in groups.items():
         for c0 in range(0, len(idxs), batch_size):
             chunk = idxs[c0 : c0 + batch_size]
@@ -125,6 +129,7 @@ def batched_detect_tta(
                 out = fn(dev_batch, dev_hws)
                 boxes = np.asarray(out[0])
                 scores = np.asarray(out[1])
+                lms = np.asarray(out[2]) if len(out) == 3 else None
                 for j, i in enumerate(chunk):
                     # count multiplicity: the same bucket can serve several
                     # scales of one image (they'd produce identical dets)
@@ -137,20 +142,30 @@ def batched_detect_tta(
                             [boxes[j][keep], scores[j][keep, None]], axis=1
                         )
                         parts[i].append(d)
+                        lm_parts[i].append(
+                            lms[j][keep] if lms is not None else None
+                        )
 
-    results: List[Tuple[np.ndarray, np.ndarray]] = []
+    results: List[Detections] = []
     for i in range(len(images)):
         if not parts[i]:
             results.append(
-                (np.zeros((0, 4), np.float32), np.zeros(0, np.float32))
+                Detections(
+                    np.zeros((0, 4), np.float32), np.zeros(0, np.float32), None
+                )
             )
             continue
         dets = np.concatenate(parts[i], axis=0)
+        has_lm = all(l is not None for l in lm_parts[i])
+        lms_i = np.concatenate(lm_parts[i], axis=0) if has_lm else None
         keep = nms(dets, nms_thresh)
-        dets = dets[keep]
-        order = np.argsort(-dets[:, 4], kind="stable")
-        dets = dets[order[:max_dets]] if max_dets else dets[order]
+        order = np.argsort(-dets[keep][:, 4], kind="stable")
+        idx = keep[order[:max_dets] if max_dets else order]
         results.append(
-            (dets[:, :4].astype(np.float32), dets[:, 4].astype(np.float32))
+            Detections(
+                dets[idx][:, :4].astype(np.float32),
+                dets[idx][:, 4].astype(np.float32),
+                lms_i[idx].astype(np.float32) if lms_i is not None else None,
+            )
         )
     return results

@@ -42,10 +42,16 @@ def nms(dets: np.ndarray, thresh: float = 0.4) -> np.ndarray:
     return np.asarray(keep, np.int64)
 
 
-def flip_detect(detector, img: np.ndarray, **kw) -> Tuple[np.ndarray, np.ndarray]:
-    """Detect on the horizontally mirrored image; un-mirror the boxes."""
+def flip_detect(detector, img: np.ndarray, **kw):
+    """Detect on the horizontally mirrored image; un-mirror the boxes (and
+    landmarks, swapping left/right point pairs per DecodeConfig.lm_flip_perm).
+
+    Returns a `Detections` (tuple-compatible: `boxes, scores = ...[:2]`)."""
+    from tpucenterface.detector import Detections
+
     w = img.shape[1]
-    boxes, scores = detector.detect(img[:, ::-1], **kw)[:2]
+    det = detector.detect(img[:, ::-1], **kw)
+    boxes, scores, lm = det.boxes, det.scores, det.landmarks
     if len(boxes):
         boxes = boxes.copy()
         # img[:, ::-1] maps pixel index x -> w-1-x, so the un-mirror must use
@@ -54,7 +60,11 @@ def flip_detect(detector, img: np.ndarray, **kw) -> Tuple[np.ndarray, np.ndarray
         x1 = w - 1 - boxes[:, 2]
         x2 = w - 1 - boxes[:, 0]
         boxes[:, 0], boxes[:, 2] = x1, x2
-    return boxes, scores
+        if lm is not None:
+            lm = lm.copy()
+            lm[..., 0] = w - 1 - lm[..., 0]
+            lm = lm[:, list(detector.config.decode.lm_flip_perm), :]
+    return Detections(boxes, scores, lm)
 
 
 def pick_bucket(buckets: Sequence[int], target: float) -> int:
@@ -73,28 +83,46 @@ def detect_tta(
     score_thresh: float = 0.01,
     nms_thresh: float = 0.4,
     max_dets: Optional[int] = 750,
-) -> Tuple[np.ndarray, np.ndarray]:
+):
     """Run flip/multi-scale TTA and merge with NMS.
 
     `scales` multiply the image's max side to choose the model-input bucket,
     so each (scale, image-shape) pair maps onto a bounded executable set.
+    Returns a `Detections` (tuple-compatible; landmark models carry their
+    points through the merge — each surviving detection keeps the landmarks
+    of the variant it came from).
     """
+    from tpucenterface.detector import Detections
+
     h, w = img.shape[:2]
     parts = []
+    lm_parts = []
     for s in scales:
         size = pick_bucket(detector.config.buckets, max(h, w) * s)
         for flipped in ([False, True] if flip else [False]):
             if flipped:
-                b, sc = flip_detect(detector, img, score_thresh=score_thresh, size=size)
+                d = flip_detect(detector, img, score_thresh=score_thresh, size=size)
             else:
-                b, sc = detector.detect(img, score_thresh=score_thresh, size=size)[:2]
-            if len(b):
-                parts.append(np.concatenate([b, sc[:, None]], axis=1))
+                d = detector.detect(img, score_thresh=score_thresh, size=size)
+            if len(d.boxes):
+                parts.append(
+                    np.concatenate([d.boxes, d.scores[:, None]], axis=1)
+                )
+                lm_parts.append(d.landmarks)
     if not parts:
-        return np.zeros((0, 4), np.float32), np.zeros(0, np.float32)
+        return Detections(
+            np.zeros((0, 4), np.float32), np.zeros(0, np.float32), None
+        )
     dets = np.concatenate(parts, axis=0)
+    has_lm = all(l is not None for l in lm_parts)
+    lms = np.concatenate(lm_parts, axis=0) if has_lm else None
     keep = nms(dets, nms_thresh)
-    dets = dets[keep]
-    order = np.argsort(-dets[:, 4], kind="stable")
-    dets = dets[order[:max_dets]] if max_dets else dets[order]
-    return dets[:, :4].astype(np.float32), dets[:, 4].astype(np.float32)
+    dets_k = dets[keep]
+    order = np.argsort(-dets_k[:, 4], kind="stable")
+    sel = order[:max_dets] if max_dets else order
+    idx = keep[sel]
+    return Detections(
+        dets[idx][:, :4].astype(np.float32),
+        dets[idx][:, 4].astype(np.float32),
+        lms[idx].astype(np.float32) if lms is not None else None,
+    )

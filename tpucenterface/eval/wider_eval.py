@@ -272,7 +272,7 @@ def evaluate_wider(
             if img is None:
                 dets_cache[rel] = np.zeros((0, 5), np.float64)
                 continue
-            boxes, scores = det_fn(img)
+            boxes, scores = det_fn(img)[:2]
             record(rel, boxes, scores)
 
     results = {}

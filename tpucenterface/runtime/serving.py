@@ -162,8 +162,9 @@ class ServingEngine:
     # ------------------------------------------------------------------ #
 
     def _fn(self, batch: int, identity: bool = False):
+        """-> (callable, input_formats_or_None) for one launch size."""
         if self.mesh is None:
-            return self.det._batch_fn(
+            return self.det._batch_fn_auto(
                 batch, self.padded_hw, self.size, identity=identity,
                 max_dets=self.max_dets,
             )
@@ -189,7 +190,7 @@ class ServingEngine:
                 num_batch_args=2,
             )
             self._dp_cache[key] = wrapped
-        return wrapped
+        return wrapped, None
 
     def _launch(self, group: Sequence[_Request]) -> Tuple[Sequence[_Request], Any]:
         """Enqueue ONE fused program for the group; no host sync.
@@ -241,15 +242,23 @@ class ServingEngine:
         with self._stats_lock:
             self._n_launches += 1
             self._n_pad_images += b - total
+        fn, fmts = self._fn(b, identity=identity)
         if self.mesh is not None:
             from tpucenterface.runtime.sharding import put_sharded
 
             dev_im = put_sharded(imgs, self.mesh)
             dev_hw = put_sharded(hws, self.mesh)
+        elif fmts is not None:
+            # stage straight into the program's preferred (AUTO) parameter
+            # layouts: the input relayout rides the transfer, not the program
+            import jax
+
+            dev_im = jax.device_put(imgs, fmts[0])
+            dev_hw = jax.device_put(hws, fmts[1])
         else:
             dev_im = jnp.asarray(imgs)
             dev_hw = jnp.asarray(hws)
-        return self._fn(b, identity=identity)(dev_im, dev_hw)
+        return fn(dev_im, dev_hw)
 
     def _finalize(self, group: Sequence[_Request], res: Any) -> None:
         """Fetch a launched group's results and fulfil its futures."""
