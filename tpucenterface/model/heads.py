@@ -82,6 +82,9 @@ class CenterNetHeads(nn.Module):
             for name, n in names:
                 out[name] = y[..., c0 : c0 + n]
                 c0 += n
+            # contiguous wh+off view: lets decode gather box params in ONE
+            # take_along_axis instead of two (serving decode micro-win)
+            out["whoff"] = y[..., cfg.num_classes : cfg.num_classes + 4]
             return out
         out = {
             "hm": _Head(

@@ -249,6 +249,8 @@ class QuantEngine:
         for name, n in names:
             out[name] = out_full[..., c0 : c0 + n]
             c0 += n
+        # contiguous wh+off view for decode's single box-param gather
+        out["whoff"] = out_full[..., cfg.num_classes : cfg.num_classes + 4]
         return out
 
     # ------------------------------------------------------------------ #
