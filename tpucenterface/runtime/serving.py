@@ -80,6 +80,10 @@ class ServingEngine:
         None (default) auto-builds {device_batch//4, device_batch}; pass
         (device_batch,) for the single-executable round-2 behavior. Each
         rung is one compiled executable, built lazily on first use.
+      max_dets: serving decode profile — caps the per-image top-K below
+        the eval default (DecodeConfig.max_dets=200). K=100 halves the
+        top-k/gather cost (measured 1.31 -> 0.86 ms at bs128 @640); None
+        keeps the detector's configured K.
       mesh: optional 1-D 'data' jax.sharding.Mesh — launches run
         data-parallel over it (inputs put_sharded, programs jitted with
         batch shardings via runtime.sharding.shard_batch_fn). This is the
