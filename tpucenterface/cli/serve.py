@@ -29,6 +29,15 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="opt-in W8A8 serving forward (calibrates on the "
                    "first device_batch images; NOT the parity path)")
+    p.add_argument("--int8-dw", action="store_true",
+                   help="with --int8: depthwise convs int8 too (per-channel "
+                   "activation scales; the measured-fastest serving forward)")
+    p.add_argument("--max-dets", type=int, default=100,
+                   help="serving decode top-K per image (eval default 200; "
+                   "100 is the measured serving profile); 0 = detector K")
+    p.add_argument("--ladder", default=None,
+                   help="comma-separated launch-size ladder, e.g. '32,128' "
+                   "(default: auto {device_batch//4, device_batch})")
     p.add_argument("--out", default=None,
                    help="write one JSON line per image (boxes/scores)")
     args = p.parse_args(argv)
@@ -73,13 +82,21 @@ def main(argv=None):
             [cv2.resize(im, (det.config.default_size,) * 2)
              for im in images[: args.device_batch]]
         ).astype(np.uint8)
-        det.quantize(calib_images=calib)
-        print(f"[serve] int8 forward calibrated on {len(calib)} images")
+        det.quantize(calib_images=calib, int8_dw=args.int8_dw)
+        print(f"[serve] int8 forward calibrated on {len(calib)} images"
+              + (" (int8_dw per-channel)" if args.int8_dw else ""))
 
     out_f = open(args.out, "w") if args.out else None
     t0 = time.perf_counter()
+    ladder = (
+        tuple(int(b) for b in args.ladder.split(",")) if args.ladder else None
+    )
     with ServingRouter(
-        det, device_batch=args.device_batch, score_thresh=args.thresh
+        det,
+        device_batch=args.device_batch,
+        score_thresh=args.thresh,
+        max_dets=args.max_dets or None,
+        batch_ladder=ladder,
     ) as router:
         futures = [(n, router.submit(im)) for n, im in zip(names, images)]
         n_faces = 0
