@@ -124,7 +124,10 @@ def config2_batch640(det, batch=32) -> dict:
             "serving_device_batch": dev_b}
 
 
-def config3_tta(det, wider_root=None, n_imgs=48) -> dict:
+def config3_tta(det, wider_root=None, n_imgs=256) -> dict:
+    # 256 images / 4 shapes = 64 per bucket group: the batch_size-64 chunks
+    # (2B=128-image flip forwards, the occupancy knee) run FULL, as they do
+    # on the real 3,226-image WIDER val; tiny n_imgs would measure padding.
     """Flip + multi-scale TTA over variable-shape images (padded buckets).
 
     Reports the TPU-shaped batched path (eval.batch_runner.batched_detect_tta:
@@ -140,8 +143,9 @@ def config3_tta(det, wider_root=None, n_imgs=48) -> dict:
             (shapes * ((n_imgs // len(shapes)) + 1))[:n_imgs]]
     scales = (0.5, 1.0)
 
-    # batched path (compile by running once, then time; log the launch plan)
-    batched_detect_tta(det, imgs[: len(shapes)], scales=scales, flip=True)
+    # batched path (compile by running the full set once — the warm pass
+    # must build the same chunk-ladder executables the timed pass uses)
+    batched_detect_tta(det, imgs, scales=scales, flip=True)
     plan: list = []
     t0 = time.perf_counter()
     batched_detect_tta(det, imgs, scales=scales, flip=True, launch_log=plan)
@@ -282,13 +286,17 @@ def config5_dp(det, batch=256) -> dict:
         imgs_q = rng.randint(0, 255, (bq, 640, 640, 3), np.uint8)
         hws_q = np.tile(np.array([[640, 640]], np.int32), (bq, 1))
         det.quantize(calib_images=imgs[:8], int8_dw=True)
-        inner_q = det._batch_fn(bq, (640, 640), 640)
+        # serving-profile program, as the DP serving deployment launches it
+        # (identity preprocess for pre-sized frames, serving decode K=100)
+        inner_q = det._batch_fn(
+            bq, (640, 640), 640, identity=True, max_dets=100
+        )
         fn_q = shard_batch_fn(
             lambda im, hw: inner_q(im, hw), mesh, num_batch_args=2
         )
         dimgs_q = put_sharded(jnp.asarray(imgs_q), mesh)
         dhws_q = put_sharded(jnp.asarray(hws_q), mesh)
-        ips_q = _fifo_ips(fn_q, dimgs_q, dhws_q, bq, n)
+        ips_q = _fifo_ips(fn_q, dimgs_q, dhws_q, bq, max(100, n))
     except Exception as e:
         import sys
 

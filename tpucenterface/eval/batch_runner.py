@@ -92,7 +92,10 @@ def batched_detect_tta(
     images per forward, the measured v5e occupancy knee — and launches are
     PIPELINED with a depth-`inflight` deque of unfetched results, so device
     compute of launch N+1 overlaps the result fetch of launch N instead of
-    stalling on a synchronous per-launch round trip.
+    stalling on a synchronous per-launch round trip. Ragged chunks ride a
+    {batch_size//4, batch_size} ladder (the serving engine's batch_ladder
+    idea): a 12-image tail pads to 16, not 64, bounding pad waste while
+    keeping the compiled-executable set at 2 per (shape, size).
     """
     import jax.numpy as jnp
 
@@ -138,11 +141,13 @@ def batched_detect_tta(
                 parts[i].append(d)
                 lm_parts[i].append(lms[j][keep] if lms is not None else None)
 
+    ladder = sorted({max(1, batch_size // 4), batch_size})
     for shape, idxs in groups.items():
         for c0 in range(0, len(idxs), batch_size):
             chunk = idxs[c0 : c0 + batch_size]
-            batch = np.zeros((batch_size,) + shape + (3,), np.uint8)
-            hws = np.ones((batch_size, 2), np.int32)
+            bs = min(r for r in ladder if r >= len(chunk))
+            batch = np.zeros((bs,) + shape + (3,), np.uint8)
+            hws = np.ones((bs, 2), np.int32)
             for j, i in enumerate(chunk):
                 batch[j] = padded[i]
                 hws[j] = images[i].shape[:2]
@@ -150,11 +155,11 @@ def batched_detect_tta(
             dev_hws = jnp.asarray(hws)
             for size in sorted({s for i in chunk for s in sizes_per_img[i]}):
                 if flip:
-                    fn = detector._batch_flip_fn(batch_size, shape, size)
+                    fn = detector._batch_flip_fn(bs, shape, size)
                 else:
-                    fn = detector._batch_fn(batch_size, shape, size)
+                    fn = detector._batch_fn(bs, shape, size)
                 if launch_log is not None:
-                    launch_log.append((batch_size, shape, size, flip))
+                    launch_log.append((bs, shape, size, flip))
                 launched.append((chunk, size, fn(dev_batch, dev_hws)))
                 while len(launched) > inflight:
                     drain_one()
