@@ -91,3 +91,47 @@ def test_serve_cli_synthetic(tmp_path, capsys):
     assert summary["images"] == 6 and summary["faces"] > 0
     dets = [_json.loads(l) for l in out.read_text().splitlines()]
     assert len(dets) == 6 and all(len(d["boxes"]) == len(d["scores"]) for d in dets)
+
+
+def test_serve_cli_scale_persistence_roundtrip(tmp_path, capsys):
+    """serve --int8 --save-scales then --int8 --scales: identical output
+    detections, no recalibration in the second run."""
+    from tpucenterface.cli.serve import main as serve_main
+
+    out1 = str(tmp_path / "a.jsonl")
+    out2 = str(tmp_path / "b.jsonl")
+    scales = str(tmp_path / "scales.json")
+    common = [
+        "--source", "synthetic", "--n-synthetic", "8", "--device-batch", "4",
+        "--size", "64", "--thresh", "-1.0", "--int8", "--int8-dw",
+    ]
+    serve_main(common + ["--save-scales", scales, "--out", out1])
+    serve_main(common + ["--scales", scales, "--out", out2])
+    a = [json.loads(l) for l in open(out1)]
+    b = [json.loads(l) for l in open(out2)]
+    assert len(a) == len(b) == 8
+    for ra, rb in zip(a, b):
+        assert ra["scores"] == rb["scores"]
+        assert ra["boxes"] == rb["boxes"]
+
+
+def test_port_weights_cli_report(tmp_path, capsys):
+    """--report prints the auto-map analysis without writing output."""
+    from tpucenterface.cli.port_weights import main as port_main
+    from tpucenterface.weights.torch_twin import TorchCenterFace
+
+    cfg = ModelConfig()
+    torch.manual_seed(0)
+    twin = TorchCenterFace(cfg)
+    pth = str(tmp_path / "w.pth")
+    torch.save(twin.state_dict(), pth)
+    out = str(tmp_path / "w.safetensors")
+    port_main(["--pth", pth, "--out", out, "--report"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["n_mapped"] > 0
+    assert not rep["unmatched_twin"]
+    # the default config repeats block shapes -> ambiguity must be REPORTED
+    assert rep["ambiguous"] and not rep["complete"]
+    import os
+
+    assert not os.path.exists(out)  # report mode writes nothing

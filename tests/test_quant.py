@@ -48,3 +48,56 @@ def test_uncalibrated_engine_runs_float():
     eng = _engine()
     out = eng(jnp.zeros((1, 64, 64, 3), jnp.float32))
     assert out["hm"].dtype == jnp.float32
+
+
+def test_quantize_with_persisted_scales(tmp_path):
+    """Deployment contract: calibrate once, persist scales, install them in
+    a fresh process — detections identical to the calibrated engine."""
+    import jax
+    import numpy as np
+
+    from tpucenterface.config import DetectorConfig, ModelConfig
+    from tpucenterface.detector import Detector
+    from tpucenterface.weights.io import load_quant_scales, save_quant_scales
+
+    cfg = DetectorConfig(
+        model=ModelConfig(compute_dtype="float32"), default_size=64
+    )
+    rng = np.random.RandomState(17)
+    calib = rng.randint(0, 255, (4, 64, 64, 3), np.uint8)
+    img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+
+    det = Detector(config=cfg, rng=jax.random.PRNGKey(0))
+    scales = det.quantize(calib_images=calib, int8_dw=True)
+    ref = det.detect(img, score_thresh=-1.0)
+    det.dequantize()
+
+    p = str(tmp_path / "scales.json")
+    save_quant_scales(scales, p)
+    loaded = load_quant_scales(p)
+    # per-channel dw entries survive the round trip as arrays
+    assert any(isinstance(v, np.ndarray) for v in loaded.values())
+
+    det2 = Detector(config=cfg, rng=jax.random.PRNGKey(0))
+    det2.quantize(scales=loaded, int8_dw=True)
+    got = det2.detect(img, score_thresh=-1.0)
+    det2.dequantize()
+    np.testing.assert_allclose(got.scores, ref.scores, atol=1e-6)
+    np.testing.assert_allclose(got.boxes, ref.boxes, atol=1e-4)
+
+
+def test_quantize_requires_input():
+    import jax
+    import pytest
+
+    from tpucenterface.config import DetectorConfig, ModelConfig
+    from tpucenterface.detector import Detector
+
+    det = Detector(
+        config=DetectorConfig(
+            model=ModelConfig(compute_dtype="float32"), default_size=64
+        ),
+        rng=jax.random.PRNGKey(0),
+    )
+    with pytest.raises(ValueError, match="calib_images"):
+        det.quantize()

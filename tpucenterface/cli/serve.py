@@ -38,6 +38,11 @@ def main(argv=None):
     p.add_argument("--ladder", default=None,
                    help="comma-separated launch-size ladder, e.g. '32,128' "
                    "(default: auto {device_batch//4, device_batch})")
+    p.add_argument("--scales", default=None,
+                   help="persisted activation-scale JSON (skip calibration; "
+                   "weights.io.save_quant_scales)")
+    p.add_argument("--save-scales", default=None,
+                   help="after calibrating, persist the scales here")
     p.add_argument("--out", default=None,
                    help="write one JSON line per image (boxes/scores)")
     args = p.parse_args(argv)
@@ -78,13 +83,26 @@ def main(argv=None):
         raise SystemExit(f"no readable images in {args.source}")
 
     if args.int8:
-        calib = np.stack(
-            [cv2.resize(im, (det.config.default_size,) * 2)
-             for im in images[: args.device_batch]]
-        ).astype(np.uint8)
-        det.quantize(calib_images=calib, int8_dw=args.int8_dw)
-        print(f"[serve] int8 forward calibrated on {len(calib)} images"
-              + (" (int8_dw per-channel)" if args.int8_dw else ""))
+        if args.scales:
+            from tpucenterface.weights.io import load_quant_scales
+
+            det.quantize(
+                scales=load_quant_scales(args.scales), int8_dw=args.int8_dw
+            )
+            print(f"[serve] int8 forward with persisted scales {args.scales}")
+        else:
+            calib = np.stack(
+                [cv2.resize(im, (det.config.default_size,) * 2)
+                 for im in images[: args.device_batch]]
+            ).astype(np.uint8)
+            scales = det.quantize(calib_images=calib, int8_dw=args.int8_dw)
+            print(f"[serve] int8 forward calibrated on {len(calib)} images"
+                  + (" (int8_dw per-channel)" if args.int8_dw else ""))
+            if args.save_scales:
+                from tpucenterface.weights.io import save_quant_scales
+
+                save_quant_scales(scales, args.save_scales)
+                print(f"[serve] scales persisted to {args.save_scales}")
 
     out_f = open(args.out, "w") if args.out else None
     t0 = time.perf_counter()

@@ -202,6 +202,7 @@ class Detector:
         calib_batches: Optional[list] = None,
         size: Optional[int] = None,
         int8_dw: bool = False,
+        scales: Optional[Dict[str, Any]] = None,
     ) -> Dict[str, float]:
         """Switch this Detector to the W8A8 int8 forward (opt-in PTQ).
 
@@ -218,7 +219,10 @@ class Detector:
         Calibration: pass raw uint8 images (N, H, W, 3) — they run through
         the device-side letterbox into the serving distribution — or
         pre-normalized arrays via `calib_batches`. Returns the per-conv
-        activation scales.
+        activation scales. For deployment, calibrate ONCE, persist the
+        returned scales (weights.io.save_quant_scales), and pass them back
+        via `scales=` on every serving process — no calibration pass, no
+        run-to-run scale drift across a fleet.
 
         Concurrency: quantize()/dequantize() swap the forward for
         SUBSEQUENT program builds; launches already in flight keep their
@@ -242,6 +246,13 @@ class Detector:
             )
         eng = QuantEngine(self.variables, self.config.model, int8_dw=int8_dw)
         eng.pp_cfg = self.config.preprocess
+        if scales is not None:
+            eng.set_scales(scales)
+            with self._fn_lock:
+                self._quant = eng
+                self.weights_version += 1
+                self._fn_cache.clear()
+            return eng.act_scales
         if calib_batches is not None:
             xs = [jnp.asarray(b) for b in calib_batches]
         elif calib_images is not None:
@@ -259,7 +270,9 @@ class Detector:
             )
             xs = [x]
         else:
-            raise ValueError("pass calib_images (uint8) or calib_batches")
+            raise ValueError(
+                "pass calib_images (uint8), calib_batches, or scales"
+            )
         scales = eng.calibrate(xs)
         with self._fn_lock:
             self._quant = eng

@@ -284,6 +284,20 @@ class QuantEngine:
         self.act_scales = dict(self._amax)
         return self.act_scales
 
+    def set_scales(self, scales: Dict[str, Any]) -> None:
+        """Install persisted activation scales (skip calibration).
+
+        Accepts the exact dict `calibrate`/`Detector.quantize` returned —
+        floats for per-tensor entries, arrays/lists for the per-channel
+        depthwise entries under int8_dw. Deployment contract: calibrate
+        once, persist (weights.io.save_quant_scales), install everywhere.
+        """
+        out: Dict[str, Any] = {}
+        for k, v in scales.items():
+            arr = np.asarray(v, np.float64)
+            out[k] = arr if arr.ndim else max(float(arr), 1e-6)
+        self.act_scales = out
+
     def __call__(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         if self.act_scales is None:
             return self._forward(x, "float")

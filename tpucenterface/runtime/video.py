@@ -85,13 +85,19 @@ class VideoPipeline:
 
 
 def draw_detections(
-    frame: np.ndarray, boxes: np.ndarray, scores: np.ndarray
+    frame: np.ndarray,
+    boxes: np.ndarray,
+    scores: np.ndarray,
+    landmarks: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """OpenCV box/score overlay (the reference demo's drawing surface)."""
+    """OpenCV box/score overlay (the reference demo's drawing surface).
+
+    landmarks: optional (N, 5, 2) facial points (CenterFace-style) drawn as
+    dots when the model carries the landmark head."""
     import cv2
 
     out = frame.copy()
-    for (x1, y1, x2, y2), s in zip(boxes.astype(int), scores):
+    for i, ((x1, y1, x2, y2), s) in enumerate(zip(boxes.astype(int), scores)):
         cv2.rectangle(out, (x1, y1), (x2, y2), (0, 255, 0), 2)
         cv2.putText(
             out,
@@ -102,6 +108,9 @@ def draw_detections(
             (0, 255, 0),
             1,
         )
+        if landmarks is not None:
+            for px, py in landmarks[i].astype(int):
+                cv2.circle(out, (int(px), int(py)), 2, (0, 0, 255), -1)
     return out
 
 

@@ -29,3 +29,33 @@ def load_safetensors(path: str, cfg: ModelConfig | None = None) -> Dict[str, Any
 
     flat = load_file(path)
     return unflatten_dict({k: jnp.asarray(v) for k, v in flat.items()}, sep="/")
+
+
+def save_quant_scales(scales: Dict[str, Any], path: str) -> None:
+    """Persist Detector.quantize() activation scales as JSON.
+
+    Per-tensor entries are floats; per-channel (int8_dw depthwise) entries
+    are lists. Deployment: calibrate once, save, then
+    `det.quantize(scales=load_quant_scales(path), int8_dw=...)` in every
+    serving process — no calibration pass, no cross-fleet scale drift.
+    """
+    import json
+
+    out = {
+        k: (v.tolist() if isinstance(v, np.ndarray) else float(v))
+        for k, v in scales.items()
+    }
+    with open(path, "w") as f:
+        json.dump(out, f)
+
+
+def load_quant_scales(path: str) -> Dict[str, Any]:
+    """Inverse of save_quant_scales (lists come back as numpy arrays)."""
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    return {
+        k: (np.asarray(v, np.float64) if isinstance(v, list) else float(v))
+        for k, v in raw.items()
+    }
