@@ -22,11 +22,15 @@ def batched_detect(
     images: Sequence[np.ndarray],
     score_thresh: Optional[float] = None,
     size: Optional[int] = None,
-    batch_size: int = 16,
+    batch_size: int = 64,
+    inflight: int = 2,
 ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Detect over a mixed-shape image list; returns per-image Detections.
 
-    One compiled executable per (padded bucket shape, batch_size) pair.
+    Same occupancy discipline as `batched_detect_tta`: 64-image chunks
+    (the measured v5e knee region), a {batch_size//4, batch_size} ladder
+    for ragged tails, and a depth-`inflight` pipeline of unfetched
+    launches. One compiled executable per (padded shape, ladder rung).
     """
     thresh = (
         detector.config.decode.score_thresh if score_thresh is None else score_thresh
@@ -40,21 +44,40 @@ def batched_detect(
         padded.append(p)
         groups.setdefault(p.shape[:2], []).append(i)
 
+    import jax.numpy as jnp
+
     results: List = [None] * len(images)
+    ladder = sorted({max(1, batch_size // 4), batch_size})
+    launched: List = []  # (chunk, out) pipeline of unfetched launches
+
+    def drain_one():
+        chunk, out = launched.pop(0)
+        dets = detector.results_to_detections(out, thresh, hi=len(chunk))
+        for j, i in enumerate(chunk):
+            results[i] = dets[j]
+
     for shape, idxs in groups.items():
         for c0 in range(0, len(idxs), batch_size):
             chunk = idxs[c0 : c0 + batch_size]
-            n = len(chunk)
-            batch = np.zeros((batch_size,) + shape + (3,), np.uint8)
-            hws = np.ones((batch_size, 2), np.int32)  # dummy rows: 1x1 content
+            bs = min(r for r in ladder if r >= len(chunk))
+            batch = np.zeros((bs,) + shape + (3,), np.uint8)
+            real_hws = np.asarray(
+                [images[i].shape[:2] for i in chunk], np.int32
+            )
+            # pre-sized chunks ride the identity program (as ServingEngine
+            # does); its pad rows must carry hw=size so one signature fits
+            identity = detector._identity_for(shape, size, real_hws)
+            fill = size if identity else 1
+            hws = np.full((bs, 2), fill, np.int32)
             for j, i in enumerate(chunk):
                 batch[j] = padded[i]
-                hws[j] = images[i].shape[:2]
-            out = detector.detect_batch(
-                batch, hws=hws, score_thresh=thresh, size=size
-            )
-            for j, i in enumerate(chunk):
-                results[i] = out[j]
+                hws[j] = real_hws[j]
+            fn = detector._batch_fn(bs, shape, size, identity=identity)
+            launched.append((chunk, fn(jnp.asarray(batch), jnp.asarray(hws))))
+            while len(launched) > inflight:
+                drain_one()
+    while launched:
+        drain_one()
     return results
 
 
