@@ -87,14 +87,12 @@ def main():
     iters128 = max(100, (iters * batch) // dev_b)
 
     def serving_vals():
+        from tpucenterface.detector import stage_inputs
+
         fn_, fmts = det._batch_fn_auto(
             dev_b, (side, side), side, identity=True, max_dets=serve_k
         )
-        if fmts is not None:
-            im = jax.device_put(imgs128, fmts[0])
-            hw = jax.device_put(hws128, fmts[1])
-        else:
-            im, hw = jnp.asarray(imgs128), jnp.asarray(hws128)
+        im, hw = stage_inputs(fmts, imgs128, hws128)
         return median_ips(fn_, im, hw, dev_b, iters128, passes)
 
     serving_ips, serving_spread = stats(serving_vals())

@@ -38,14 +38,14 @@ def main(argv=None):
 
         import torch
 
-        from tpucenterface.weights.port import propose_name_map
+        from tpucenterface.weights.port import (
+            propose_name_map,
+            unwrap_checkpoint,
+        )
 
-        ckpt = torch.load(args.pth, map_location="cpu", weights_only=False)
-        if isinstance(ckpt, dict):
-            for key in ("state_dict", "model", "model_state_dict"):
-                if key in ckpt and isinstance(ckpt[key], dict):
-                    ckpt = ckpt[key]
-                    break
+        ckpt = unwrap_checkpoint(
+            torch.load(args.pth, map_location="cpu", weights_only=False)
+        )
         prop = propose_name_map(ckpt, cfg)
         print(json.dumps(
             {

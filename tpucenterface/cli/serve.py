@@ -86,10 +86,15 @@ def main(argv=None):
         if args.scales:
             from tpucenterface.weights.io import load_quant_scales
 
-            det.quantize(
+            scales = det.quantize(
                 scales=load_quant_scales(args.scales), int8_dw=args.int8_dw
             )
             print(f"[serve] int8 forward with persisted scales {args.scales}")
+            if args.save_scales:  # re-export the INSTALLED scales
+                from tpucenterface.weights.io import save_quant_scales
+
+                save_quant_scales(scales, args.save_scales)
+                print(f"[serve] scales persisted to {args.save_scales}")
         else:
             calib = np.stack(
                 [cv2.resize(im, (det.config.default_size,) * 2)

@@ -45,6 +45,20 @@ from tpucenterface.preprocess import (
 )
 
 
+def stage_inputs(fmts, imgs, hws):
+    """Stage a (images, hws) launch into a `_batch_fn_auto` program's
+    parameter formats — or default device placement when formats is None.
+
+    The single point of truth for 'inputs staged exactly as ServingEngine
+    launches them': ServingEngine._launch_inner, bench.py, and
+    cli/bench_suite all stage through here, so the measured program and the
+    production program cannot drift apart.
+    """
+    if fmts is None:
+        return jnp.asarray(imgs), jnp.asarray(hws)
+    return jax.device_put(imgs, fmts[0]), jax.device_put(hws, fmts[1])
+
+
 class Detector:
     """Face detector: model weights + fused preprocess->forward->decode programs."""
 
@@ -244,8 +258,12 @@ class Detector:
                 "quantize() requires head_conv > 0 (the int8 engine runs "
                 "the fused-head form, which needs the hidden head conv)"
             )
-        eng = QuantEngine(self.variables, self.config.model, int8_dw=int8_dw)
-        eng.pp_cfg = self.config.preprocess
+        eng = QuantEngine(
+            self.variables,
+            self.config.model,
+            int8_dw=int8_dw,
+            pp_cfg=self.config.preprocess,
+        )
         if scales is not None:
             eng.set_scales(scales)
             with self._fn_lock:

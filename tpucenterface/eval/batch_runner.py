@@ -24,7 +24,7 @@ def batched_detect(
     size: Optional[int] = None,
     batch_size: int = 64,
     inflight: int = 2,
-) -> List[Tuple[np.ndarray, np.ndarray]]:
+) -> List["Detections"]:
     """Detect over a mixed-shape image list; returns per-image Detections.
 
     Same occupancy discipline as `batched_detect_tta`: 64-image chunks
@@ -92,7 +92,7 @@ def batched_detect_tta(
     batch_size: int = 64,
     inflight: int = 2,
     launch_log: Optional[List[Tuple[int, Tuple[int, int], int, bool]]] = None,
-) -> List[Tuple[np.ndarray, np.ndarray]]:
+) -> List["Detections"]:
     """TPU-shaped flip + multi-scale TTA over a mixed-shape image list
     (VERDICT r1 #4 / SURVEY.md §3.3 hot loop #3).
 

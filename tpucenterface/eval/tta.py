@@ -42,7 +42,7 @@ def nms(dets: np.ndarray, thresh: float = 0.4) -> np.ndarray:
     return np.asarray(keep, np.int64)
 
 
-def flip_detect(detector, img: np.ndarray, **kw):
+def flip_detect(detector, img: np.ndarray, **kw) -> "Detections":
     """Detect on the horizontally mirrored image; un-mirror the boxes (and
     landmarks, swapping left/right point pairs per DecodeConfig.lm_flip_perm).
 
@@ -83,7 +83,7 @@ def detect_tta(
     score_thresh: float = 0.01,
     nms_thresh: float = 0.4,
     max_dets: Optional[int] = 750,
-):
+) -> "Detections":
     """Run flip/multi-scale TTA and merge with NMS.
 
     `scales` multiply the image's max side to choose the model-input bucket,

@@ -46,6 +46,7 @@ class QuantEngine:
         folded_variables: Dict[str, Any],
         cfg: ModelConfig,
         int8_dw: bool = False,
+        pp_cfg=None,
     ):
         """int8_dw: also quantize the depthwise convs (int8 x int8 -> int32
         on the VPU) and chain expand->dw->project in int8 — halves the
@@ -74,14 +75,20 @@ class QuantEngine:
         self.plan = backbone_plan(cfg)
         self.act_scales: Optional[Dict[str, float]] = None
         self._amax: Dict[str, float] = {}
-        self.pp_cfg = None  # set by Detector.quantize for stem_preprocess
+        # required for stem_preprocess models (fixed stem input scale);
+        # Detector.quantize always passes it
+        self.pp_cfg = pp_cfg
 
     def _stem_fixed_scale(self) -> float:
         """Fixed int8 scale of the stem's `pixel - 255*mean` input."""
-        mean = np.asarray(
-            self.pp_cfg.mean if self.pp_cfg is not None else (0.5, 0.5, 0.5),
-            np.float64,
-        ) * 255.0
+        if self.pp_cfg is None:
+            raise ValueError(
+                "stem_preprocess models need pp_cfg (the PreprocessConfig "
+                "whose mean defines the stem input range); pass it to "
+                "QuantEngine(pp_cfg=...) — a wrong guess would silently "
+                "saturate bright pixels"
+            )
+        mean = np.asarray(self.pp_cfg.mean, np.float64) * 255.0
         amax = float(np.max(np.maximum(mean, 255.0 - mean)))
         return amax / 127.0
 

@@ -252,16 +252,12 @@ class ServingEngine:
 
             dev_im = put_sharded(imgs, self.mesh)
             dev_hw = put_sharded(hws, self.mesh)
-        elif fmts is not None:
+        else:
             # stage straight into the program's preferred (AUTO) parameter
             # layouts: the input relayout rides the transfer, not the program
-            import jax
+            from tpucenterface.detector import stage_inputs
 
-            dev_im = jax.device_put(imgs, fmts[0])
-            dev_hw = jax.device_put(hws, fmts[1])
-        else:
-            dev_im = jnp.asarray(imgs)
-            dev_hw = jnp.asarray(hws)
+            dev_im, dev_hw = stage_inputs(fmts, imgs, hws)
         return fn(dev_im, dev_hw)
 
     def _finalize(self, group: Sequence[_Request], res: Any) -> None:

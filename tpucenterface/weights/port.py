@@ -151,17 +151,21 @@ def apply_name_map(state_dict: Mapping[str, Any], name_map) -> Dict[str, Any]:
 
 
 def _ambiguous_unit_pairs(entries):
-    """Adjacent module units whose ordered shape signatures are identical.
+    """Module units whose ordered shape signatures are identical — adjacent
+    OR NOT.
 
-    Positional shape matching cannot verify the ORDER of two adjacent
-    modules with the same shape signature (e.g. MobileNet's repeated
-    identical blocks): if the foreign net registered them in a different
-    order than the twin's data flow, the two-pointer walk maps them
-    crosswise with no shape mismatch (VERDICT r2 #4). Scans every module
-    granularity (prefix depth); leaf tensors are always grouped at least at
-    their parent module (torch's within-module parameter order —
-    weight, bias, running_mean, running_var — is a universal convention,
-    so it is NOT flagged).
+    Positional shape matching cannot verify the ORDER of ANY two modules
+    with the same shape signature (e.g. MobileNet's repeated identical
+    blocks): swapping two equal-signature units — even separated by other
+    modules — leaves the flat shape sequence unchanged, so if the foreign
+    net registered them in a different order than the twin's data flow, the
+    two-pointer walk maps them crosswise with no shape mismatch
+    (VERDICT r2 #4). Scans every module granularity (prefix depth); leaf
+    tensors are always grouped at least at their parent module (torch's
+    within-module parameter order — weight, bias, running_mean,
+    running_var — is a universal convention, so it is NOT flagged).
+    Equal-signature units are reported as consecutive pairs per signature
+    class (bounding the list size).
     """
     pairs = set()
     if not entries:
@@ -176,9 +180,13 @@ def _ambiguous_unit_pairs(entries):
                 groups[-1][1].append(s)
             else:
                 groups.append((pref, [s]))
-        for (p1, s1), (p2, s2) in zip(groups, groups[1:]):
-            if s1 == s2:
-                pairs.add((p1, p2))
+        by_sig: dict = {}
+        for pref, sig in groups:
+            by_sig.setdefault(tuple(sig), []).append(pref)
+        for prefs in by_sig.values():
+            distinct = sorted(set(prefs))
+            for a, b in zip(distinct, distinct[1:]):
+                pairs.add((a, b))
     return sorted(pairs)
 
 
@@ -294,6 +302,18 @@ def flax_from_foreign_state(
     return flax_from_torch_state(renamed, cfg)
 
 
+def unwrap_checkpoint(ckpt):
+    """Unwrap the reference family's checkpoint containers: a bare
+    state_dict, or a dict with a 'state_dict'/'model'/'model_state_dict'
+    entry (SURVEY.md §2 C10 [K]). Single point of truth for every consumer
+    (load_torch_pth and the port CLI's --report analysis)."""
+    if isinstance(ckpt, dict):
+        for key in ("state_dict", "model", "model_state_dict"):
+            if key in ckpt and isinstance(ckpt[key], dict):
+                return ckpt[key]
+    return ckpt
+
+
 def load_torch_pth(
     path: str,
     cfg: ModelConfig,
@@ -303,20 +323,17 @@ def load_torch_pth(
 ) -> Dict[str, Any]:
     """Load a `.pth` checkpoint file and port it.
 
-    Handles the reference family's wrappers: a bare state_dict, or a dict with
-    a 'state_dict'/'model' entry (SURVEY.md §2 C10 [K]). Checkpoints that use
-    module names other than the twin contract port through `name_map`
-    (declarative regex rules) or `auto_map=True` (shape/order alignment via
-    `propose_name_map` — re-verify against the real tree when it appears).
+    Handles the reference family's wrappers via `unwrap_checkpoint`.
+    Checkpoints that use module names other than the twin contract port
+    through `name_map` (declarative regex rules) or `auto_map=True`
+    (shape/order alignment via `propose_name_map` — re-verify against the
+    real tree when it appears).
     """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(ckpt, dict):
-        for key in ("state_dict", "model", "model_state_dict"):
-            if key in ckpt and isinstance(ckpt[key], dict):
-                ckpt = ckpt[key]
-                break
+    ckpt = unwrap_checkpoint(
+        torch.load(path, map_location="cpu", weights_only=False)
+    )
     if name_map is not None or auto_map:
         return flax_from_foreign_state(
             ckpt, cfg, name_map=name_map, allow_ambiguous=allow_ambiguous
