@@ -91,6 +91,10 @@ def main() -> None:
     )
     step = make_train_step(model, tx, tcfg)
     jstep, sstate = shard_train_step(step, mesh, state)
+    # second replicated copy from a HOST snapshot: the jitted step DONATES
+    # its state argument, and device_put may alias rather than copy, so the
+    # prefetch-path run below needs provably fresh buffers
+    _, sstate_b = shard_train_step(step, mesh, jax.device_get(state))
     batch = make_dummy_batch(B, 64, tcfg)
     batch = {
         k: jax.make_array_from_process_local_data(sh, np.asarray(v)[lo:hi])
@@ -99,6 +103,19 @@ def main() -> None:
     _, metrics = jstep(sstate, batch)
     loss = float(np.asarray(metrics["loss"]))
 
+    # the SAME step fed through the training loop's prefetch pipeline
+    # (multi-host branch: global batch in, per-process rows transferred)
+    from tpucenterface.runtime.prefetch import prefetch_to_device
+
+    host_batch = {
+        k: np.asarray(v) for k, v in make_dummy_batch(B, 64, tcfg).items()
+    }
+    dev_batches = list(
+        prefetch_to_device([host_batch], size=2, sharding=sh)
+    )
+    _, metrics2 = jstep(sstate_b, dev_batches[0])
+    prefetch_loss = float(np.asarray(metrics2["loss"]))
+
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -106,6 +123,7 @@ def main() -> None:
                 "bounds": [lo, hi],
                 "scores_rows": local_rows,
                 "loss": loss,
+                "prefetch_loss": prefetch_loss,
                 "process_count": jax.process_count(),
                 "n_devices": len(jax.devices()),
             },

@@ -125,4 +125,6 @@ def test_two_process_dp_matches_single_process(tmp_path):
     assert np.isfinite(ref_loss)
     for r in results:
         np.testing.assert_allclose(r["loss"], ref_loss, rtol=1e-5)
+        # the prefetch pipeline's multi-host branch feeds identical data
+        np.testing.assert_allclose(r["prefetch_loss"], r["loss"], rtol=1e-6)
     np.testing.assert_allclose(results[0]["loss"], results[1]["loss"], rtol=1e-7)

@@ -20,11 +20,33 @@ def prefetch_to_device(
     size: int = 2,
     sharding: Optional[Any] = None,
 ) -> Iterator[Any]:
-    """Yield device-resident pytrees, keeping `size` transfers in flight."""
+    """Yield device-resident pytrees, keeping `size` transfers in flight.
+
+    Multi-host (after runtime.sharding.maybe_init_distributed): the
+    iterator yields GLOBAL batches on every process (deterministic for a
+    fixed seed); each process transfers only its own rows
+    (process_local_batch_bounds) and the shards assemble into one global
+    jax.Array over the given sharding — the standard per-host input
+    feeding contract, now the training loop's default behavior.
+    """
     queue: collections.deque = collections.deque()
 
     def _put(item):
         if sharding is not None:
+            if jax.process_count() > 1:
+                import numpy as np
+
+                from tpucenterface.runtime.sharding import (
+                    process_local_batch_bounds,
+                )
+
+                def put_leaf(x):
+                    lo, hi = process_local_batch_bounds(x.shape[0])
+                    return jax.make_array_from_process_local_data(
+                        sharding, np.asarray(x)[lo:hi]
+                    )
+
+                return jax.tree.map(put_leaf, item)
             return jax.device_put(item, sharding)
         return jax.device_put(item)
 
