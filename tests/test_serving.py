@@ -489,3 +489,21 @@ def test_dp_cache_evicts_stale_versions(det):
             eng.submit(img).result(timeout=180)
         versions = {k[2] for k in eng._dp_cache}
     assert versions == {det.weights_version}, versions
+
+
+def test_router_stats_aggregation(det):
+    from tpucenterface.runtime.serving import ServingRouter
+
+    rng = np.random.RandomState(60)
+    with ServingRouter(det, device_batch=4, score_thresh=-1.0) as router:
+        futs = [
+            router.submit(rng.randint(0, 255, (64, 64, 3), np.uint8))
+            for _ in range(5)
+        ]
+        for f in futs:
+            f.result(timeout=120)
+        s = router.stats()
+    assert s["requests"] == 5 and s["images"] == 5
+    assert s["launches"] >= 1 and "buckets" in s
+    for bs in s["buckets"].values():
+        assert bs["latency_ms_p50"] is not None

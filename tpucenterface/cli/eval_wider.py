@@ -22,7 +22,7 @@ def main(argv=None):
     p.add_argument("--per-image", action="store_true",
                    help="legacy per-image dispatch (default: bucketed batches"
                         " with device-side flip, the TPU-shaped path)")
-    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=64)  # 2B=128 flip forwards: the v5e occupancy knee
     args = p.parse_args(argv)
 
     from tpucenterface.detector import Detector

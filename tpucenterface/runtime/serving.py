@@ -551,6 +551,17 @@ class ServingRouter:
         inner.add_done_callback(unwrap)
         return out
 
+    def stats(self) -> dict:
+        """Per-bucket engine stats plus fleet totals (thread-safe)."""
+        with self._lock:
+            engines = dict(self._engines)
+        per = {str(hw): eng.stats() for hw, eng in engines.items()}
+        totals = {
+            k: sum(s[k] for s in per.values())
+            for k in ("requests", "images", "launches", "pad_images")
+        }
+        return {"buckets": per, **totals}
+
     def close(self) -> None:
         with self._lock:
             if self._closed:
