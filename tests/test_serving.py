@@ -507,3 +507,76 @@ def test_router_stats_aggregation(det):
     assert s["launches"] >= 1 and "buckets" in s
     for bs in s["buckets"].values():
         assert bs["latency_ms_p50"] is not None
+
+
+def test_serving_soak_reload_quantize_stats():
+    """Production soak: concurrent submitters while weights hot-reload,
+    int8 flips on/off, and a monitor hammers stats()/router engines. Every
+    future must resolve with structurally valid results (values may span
+    the reload/quantize transitions — documented semantics); no deadlocks,
+    no stranded futures, no exceptions."""
+    import threading
+
+    import jax
+
+    from tpucenterface.model.centernet import init_model
+
+    cfg = DetectorConfig(
+        model=ModelConfig(compute_dtype="float32"), default_size=64
+    )
+    sdet = Detector(config=cfg, rng=jax.random.PRNGKey(1))
+    calib = np.random.RandomState(70).randint(0, 255, (2, *HW, 3), np.uint8)
+    stop = threading.Event()
+    errors: list = []
+
+    with ServingEngine(sdet, HW, device_batch=8, score_thresh=-1.0) as eng:
+
+        def monitor():
+            while not stop.is_set():
+                try:
+                    s = eng.stats()
+                    assert s["requests"] >= 0
+                except Exception as e:  # pragma: no cover
+                    errors.append(("monitor", e))
+                    return
+
+        def churn():
+            try:
+                for i in range(3):
+                    _, raw = init_model(
+                        sdet._init_config.model, rng=jax.random.PRNGKey(80 + i)
+                    )
+                    sdet.reload_weights(variables=raw)
+                    sdet.quantize(calib_images=calib)
+                    sdet.dequantize()
+            except Exception as e:  # pragma: no cover
+                errors.append(("churn", e))
+
+        def client(tid):
+            rng = np.random.RandomState(90 + tid)
+            try:
+                for _ in range(6):
+                    imgs = rng.randint(0, 255, (2, *HW, 3), np.uint8)
+                    dets = eng.submit(imgs).result(timeout=300)
+                    assert len(dets) == 2
+                    for d in dets:
+                        assert d.boxes.shape[1] == 4
+                        assert np.isfinite(d.scores).all()
+            except Exception as e:  # pragma: no cover
+                errors.append((f"client{tid}", e))
+
+        threads = (
+            [threading.Thread(target=monitor)]
+            + [threading.Thread(target=churn)]
+            + [threading.Thread(target=client, args=(t,)) for t in range(3)]
+        )
+        for t in threads[1:]:
+            t.start()
+        threads[0].start()
+        for t in threads[1:]:
+            t.join(timeout=600)
+        stop.set()
+        threads[0].join(timeout=30)
+    assert not errors, errors
+    s = eng.stats()
+    assert s["requests"] == 18  # 3 clients x 6 requests
