@@ -101,3 +101,34 @@ def test_quantize_requires_input():
     )
     with pytest.raises(ValueError, match="calib_images"):
         det.quantize()
+
+
+def test_stem_fixed_scale_covers_pixel_range():
+    """The stem_preprocess input scale must cover the full raw range
+    (max(255*mean, 255*(1-mean))) — and refuse to guess without pp_cfg."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from tpucenterface.config import DetectorConfig, ModelConfig
+    from tpucenterface.detector import Detector
+    from tpucenterface.quant.engine import QuantEngine
+
+    cfg = DetectorConfig(
+        model=ModelConfig(compute_dtype="float32"), default_size=64
+    )
+    det = Detector(config=cfg, rng=jax.random.PRNGKey(0))
+    assert det.config.model.stem_preprocess
+    eng = QuantEngine(
+        det.variables, det.config.model, pp_cfg=det.config.preprocess
+    )
+    sx = eng._stem_fixed_scale()
+    mean = np.asarray(cfg.preprocess.mean) * 255.0
+    amax = float(np.max(np.maximum(mean, 255.0 - mean)))
+    assert abs(sx * 127.0 - amax) < 1e-9
+    # the darkest/brightest raw values quantize within int8 without clipping
+    assert amax / sx <= 127.0 + 1e-9
+
+    eng2 = QuantEngine(det.variables, det.config.model)  # no pp_cfg
+    with pytest.raises(ValueError, match="pp_cfg"):
+        eng2._stem_fixed_scale()
