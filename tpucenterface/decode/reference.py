@@ -15,7 +15,7 @@ fallback on non-TPU backends.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +58,7 @@ def decode_feats(
 
 
 def topk_2stage(
-    flat: jnp.ndarray, k: int, chunk: int = 8
+    flat: jnp.ndarray, k: int, chunk: Optional[int] = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact-by-value two-stage top-k over (B, N).
 
@@ -76,6 +76,12 @@ def topk_2stage(
     logits; the maxpool pseudo-NMS semantics don't depend on this order.
     """
     b, n = flat.shape
+    if chunk is None:
+        # chunk=8 for every measured regime: an ISOLATED decode probe said
+        # chunk=16 wins at K<=128 (0.585 -> 0.577 ms bs128), but in the
+        # full program it loses 0.16 ms (25.58 -> 25.74 ms e2e) — fusion
+        # context flips the verdict; keep the e2e-measured choice
+        chunk = 8
     if n % chunk or n // chunk <= k:
         return jax.lax.top_k(flat, k)
     m = n // chunk
