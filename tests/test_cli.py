@@ -135,3 +135,38 @@ def test_port_weights_cli_report(tmp_path, capsys):
     import os
 
     assert not os.path.exists(out)  # report mode writes nothing
+
+
+def test_eval_wider_cli_on_synthetic_mat(tmp_path, capsys):
+    """End-to-end eval CLI over the synthetic .mat fixtures: both the
+    batched (default) and --per-image --tta routes print 3 APs."""
+    import os
+
+    from tests.test_wider_eval import (
+        _fake_image_dataset,
+        _write_synthetic_mat_gt,
+    )
+    from tpucenterface.cli.eval_wider import main as eval_main
+
+    gt_dir, img_root = str(tmp_path / "gt"), str(tmp_path / "imgs")
+    os.makedirs(gt_dir)
+    _write_synthetic_mat_gt(gt_dir)
+    _fake_image_dataset(img_root)
+    dets_dir = str(tmp_path / "dets")
+
+    eval_main([
+        "--gt-dir", gt_dir, "--images-root", img_root,
+        "--out-dets", dets_dir, "--batch-size", "4",
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) == {"AP_easy", "AP_medium", "AP_hard"}
+    assert all(0.0 <= v <= 1.0 for v in out.values())
+    # WIDER-format detection txts were dumped per image
+    assert os.path.isfile(os.path.join(dets_dir, "ev_a", "img1.txt"))
+
+    eval_main([
+        "--gt-dir", gt_dir, "--images-root", img_root,
+        "--per-image", "--tta", "--scales", "1.0",
+    ])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out2) == {"AP_easy", "AP_medium", "AP_hard"}
