@@ -105,9 +105,32 @@ def main():
     # on a trained model). NOT the parity path. Guarded: the headline JSON
     # must survive an int8 failure on any backend.
     serving_int8 = serving_int8_spread = None
+    serving_int8in = serving_int8in_spread = None
     try:
         det.quantize(calib_images=imgs[:8], int8_dw=True)
         serving_int8, serving_int8_spread = stats(serving_vals())
+        # int8-INPUT variant: host-quantized staging (the stem's device-
+        # exact u8->s8 LUT applied during assembly — ServingEngine
+        # int8_input mode) removes the program's input quantize pass and
+        # shrinks its retiling copy. Device program rate; the host LUT cost
+        # (~1 core-second per 2-3 GB, threaded C++) rides the staging
+        # pipeline on multi-core serving hosts.
+        try:
+            from tpucenterface.detector import stage_inputs
+            from tpucenterface.quant.engine import apply_stem_lut
+
+            lut = det.stem_input_lut()
+            i8 = apply_stem_lut(imgs128, lut)
+            fn_i8, fmts = det._batch_fn_auto(
+                dev_b, (side, side), side, identity=True,
+                max_dets=serve_k, int8_in=True,
+            )
+            im_i8, hw_i8 = stage_inputs(fmts, i8, hws128)
+            serving_int8in, serving_int8in_spread = stats(
+                median_ips(fn_i8, im_i8, hw_i8, dev_b, iters128, passes)
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"# int8-input measurement skipped: {e}", file=sys.stderr)
     except Exception as e:
         print(f"# int8 serving measurement skipped: {e}", file=sys.stderr)
     finally:
@@ -130,6 +153,8 @@ def main():
                     if serving_int8 is not None
                     else None
                 ),
+                "serving_int8in_img_s": serving_int8in,
+                "serving_int8in_spread": serving_int8in_spread,
                 "serving_note": "bs32 request stream dynamically coalesced "
                 "to bs128 device programs (runtime/serving.py) exactly as "
                 "ServingEngine launches them: identity preprocess "
@@ -137,6 +162,8 @@ def main():
                 "input layouts; int8 = opt-in W8A8 PTQ forward with "
                 "per-channel int8 depthwise (Detector.quantize(int8_dw)), "
                 "AP pinned within 0.1 of float by tests/test_integration.py; "
+                "int8in = ServingEngine int8_input mode (host-side "
+                "device-exact LUT staging, bit-identical results); "
                 "all fields median-of-%d passes with [min,max] spread"
                 % passes,
             }

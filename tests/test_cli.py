@@ -115,6 +115,32 @@ def test_serve_cli_scale_persistence_roundtrip(tmp_path, capsys):
         assert ra["boxes"] == rb["boxes"]
 
 
+def test_serve_cli_int8_input_bit_identical(tmp_path):
+    """--int8-input (host LUT staging) detections == the plain --int8 run
+    (synthetic frames are exactly model-size, so the identity/int8-in
+    program serves every launch); and the flag demands --int8."""
+    import pytest
+
+    from tpucenterface.cli.serve import main as serve_main
+
+    out1 = str(tmp_path / "u8.jsonl")
+    out2 = str(tmp_path / "i8.jsonl")
+    common = [
+        "--source", "synthetic", "--n-synthetic", "6", "--device-batch", "4",
+        "--size", "64", "--thresh", "-1.0", "--int8", "--int8-dw",
+    ]
+    serve_main(common + ["--out", out1])
+    serve_main(common + ["--int8-input", "--out", out2])
+    a = [json.loads(l) for l in open(out1)]
+    b = [json.loads(l) for l in open(out2)]
+    assert len(a) == len(b) == 6
+    for ra, rb in zip(a, b):
+        assert ra["scores"] == rb["scores"]
+        assert ra["boxes"] == rb["boxes"]
+    with pytest.raises(SystemExit):
+        serve_main(["--source", "synthetic", "--int8-input"])
+
+
 def test_port_weights_cli_report(tmp_path, capsys):
     """--report prints the auto-map analysis without writing output."""
     from tpucenterface.cli.port_weights import main as port_main

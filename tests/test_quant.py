@@ -132,3 +132,109 @@ def test_stem_fixed_scale_covers_pixel_range():
     eng2 = QuantEngine(det.variables, det.config.model)  # no pp_cfg
     with pytest.raises(ValueError, match="pp_cfg"):
         eng2._stem_fixed_scale()
+
+
+# --------------------------------------------------------------------- #
+# int8-input staging path (stem_input_lut / apply_stem_lut / int8_in)
+# --------------------------------------------------------------------- #
+
+
+def _stem_det():
+    from tpucenterface.config import DetectorConfig
+    from tpucenterface.detector import Detector
+
+    cfg = DetectorConfig(
+        model=ModelConfig(compute_dtype="float32"), default_size=64
+    )
+    det_ = Detector(config=cfg, rng=jax.random.PRNGKey(2))
+    assert det_.config.model.stem_preprocess
+    return det_
+
+
+def test_stem_input_lut_matches_program_chain():
+    """The host LUT must reproduce the in-program input quantization
+    BIT-exactly — it is built by running the exact device chain over the
+    256-value ramp, so host float arithmetic never enters."""
+    from tpucenterface.preprocess import normalize_images
+    from tpucenterface.quant.engine import apply_stem_lut, stem_input_lut
+
+    det = _stem_det()
+    pp = det.config.preprocess
+    lut = stem_input_lut(pp)
+    assert lut.shape == (256, 3) and lut.dtype == np.int8
+
+    mean = np.asarray(pp.mean, np.float64) * 255.0
+    sx = np.float32(float(np.max(np.maximum(mean, 255.0 - mean))) / 127.0)
+    rng = np.random.RandomState(7)
+    imgs = rng.randint(0, 256, (2, 16, 16, 3), np.uint8)
+
+    @jax.jit
+    def program_quant(u):
+        x = normalize_images(u, pp, raw=True)
+        return jnp.clip(
+            jnp.round(x.astype(jnp.float32) / jnp.float32(sx)), -127, 127
+        ).astype(jnp.int8)
+
+    np.testing.assert_array_equal(
+        apply_stem_lut(imgs, lut), np.asarray(program_quant(imgs))
+    )
+
+
+def test_int8_in_program_bit_identical_to_uint8():
+    """The int8_in serving program fed host-LUT-quantized pixels returns
+    EXACTLY the uint8 program's detections (same backend, same chain)."""
+    from tpucenterface.quant.engine import apply_stem_lut
+
+    det = _stem_det()
+    rng = np.random.RandomState(8)
+    det.quantize(
+        calib_images=rng.randint(0, 255, (4, 64, 64, 3), np.uint8),
+        int8_dw=True,
+    )
+    imgs = rng.randint(0, 256, (3, 64, 64, 3), np.uint8)
+    hws = np.full((3, 2), 64, np.int32)
+    ref = det._batch_fn(3, (64, 64), 64, identity=True, max_dets=32)(imgs, hws)
+    i8 = apply_stem_lut(imgs, det.stem_input_lut())
+    got = det._batch_fn(
+        3, (64, 64), 64, identity=True, max_dets=32, int8_in=True
+    )(i8, hws)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_in_preconditions():
+    import pytest
+
+    det = _stem_det()
+    # unquantized: both the LUT accessor and the program refuse
+    with pytest.raises(ValueError, match="quantize"):
+        det.stem_input_lut()
+    with pytest.raises(ValueError, match="quantize"):
+        det._batch_fn(2, (64, 64), 64, identity=True, int8_in=True)
+    rng = np.random.RandomState(9)
+    det.quantize(calib_images=rng.randint(0, 255, (2, 64, 64, 3), np.uint8))
+    # the letterbox resize is a float op: int8_in demands the identity path
+    with pytest.raises(ValueError, match="identity"):
+        det._batch_fn(2, (64, 64), 64, identity=False, int8_in=True)
+
+
+def test_skip_tags_mixed_precision_knob():
+    """skip_tags (the mixed-precision probe knob — ledger #25: loses on
+    perf, kept for probing) leaves the tagged convs bf16 inside an
+    otherwise-int8 forward and still tracks the float path."""
+    eng = _engine()
+    rng = np.random.RandomState(11)
+    cal = [rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1 for _ in range(2)]
+    eng.calibrate(cal)
+    eng_skip = QuantEngine(
+        {"params": eng.p}, CFG, skip_tags=("stem", "b0.dw")
+    )
+    eng_skip.act_scales = dict(eng.act_scales)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    f = eng.float_forward(jnp.asarray(x))
+    q = eng_skip(jnp.asarray(x))
+    for k in ("hm", "wh", "off"):
+        a = np.asarray(f[k], np.float32)
+        b2 = np.asarray(q[k], np.float32)
+        rng_k = max(float(a.max() - a.min()), 1e-3)
+        assert float(np.abs(a - b2).mean()) / rng_k < 0.05, k

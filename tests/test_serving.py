@@ -487,7 +487,7 @@ def test_dp_cache_evicts_stale_versions(det):
             )
             det.reload_weights(variables=raw)
             eng.submit(img).result(timeout=180)
-        versions = {k[2] for k in eng._dp_cache}
+        versions = {k[-1] for k in eng._dp_cache}  # (b, id, int8_in, ver)
     assert versions == {det.weights_version}, versions
 
 
@@ -580,3 +580,68 @@ def test_serving_soak_reload_quantize_stats():
     assert not errors, errors
     s = eng.stats()
     assert s["requests"] == 18  # 3 clients x 6 requests
+
+
+def test_int8_input_engine_matches_uint8(det):
+    """int8_input mode (host LUT staging + int8-in program) returns
+    BIT-identical detections to the plain uint8 engine on the identity
+    path, including ragged-tail pad rows (LUT(0) == the uint8 zero fill)."""
+    rng = np.random.RandomState(41)
+    det.quantize(
+        calib_images=rng.randint(0, 255, (4, *HW, 3), np.uint8), int8_dw=True
+    )
+    try:
+        reqs = _requests(5, 3, seed=42)  # 15 imgs -> ragged vs 16-batch
+        ref = list(
+            ServingEngine(det, HW, device_batch=16, score_thresh=-1.0)
+            .map_stream((r, None) for r in reqs)
+        )
+        got = list(
+            ServingEngine(
+                det, HW, device_batch=16, score_thresh=-1.0, int8_input=True
+            ).map_stream((r, None) for r in reqs)
+        )
+        assert len(got) == len(ref)
+        for rs, gs in zip(ref, got):
+            for rd, gd in zip(rs, gs):
+                np.testing.assert_array_equal(rd.boxes, gd.boxes)
+                np.testing.assert_array_equal(rd.scores, gd.scores)
+    finally:
+        det.dequantize()
+
+
+def test_int8_input_letterbox_falls_back_to_uint8(det):
+    """Non-identity launches (real letterbox resizes — float ops that can't
+    consume quantized pixels) fall back to the uint8 program and still
+    match the plain engine."""
+    rng = np.random.RandomState(43)
+    det.quantize(calib_images=rng.randint(0, 255, (4, *HW, 3), np.uint8))
+    try:
+        imgs = np.zeros((2, *HW, 3), np.uint8)
+        imgs[:, :48, :40] = rng.randint(0, 255, (2, 48, 40, 3), np.uint8)
+        hws = np.array([[48, 40], [48, 40]], np.int32)
+        ref = list(
+            ServingEngine(det, HW, device_batch=4, score_thresh=-1.0)
+            .map_stream([(imgs, hws)])
+        )
+        got = list(
+            ServingEngine(
+                det, HW, device_batch=4, score_thresh=-1.0, int8_input=True
+            ).map_stream([(imgs, hws)])
+        )
+        for rd, gd in zip(ref[0], got[0]):
+            np.testing.assert_array_equal(rd.boxes, gd.boxes)
+            np.testing.assert_array_equal(rd.scores, gd.scores)
+    finally:
+        det.dequantize()
+
+
+def test_int8_input_requires_quantized_detector(det):
+    """An int8_input engine on an unquantized detector fails the launch
+    loudly (the future carries the ValueError) instead of hanging."""
+    eng = ServingEngine(det, HW, device_batch=4, int8_input=True)
+    rng = np.random.RandomState(44)
+    fut = eng.submit(rng.randint(0, 255, (1, *HW, 3), np.uint8))
+    with pytest.raises(ValueError, match="quantize"):
+        fut.result(timeout=120)
+    eng.close()

@@ -32,6 +32,12 @@ def main(argv=None):
     p.add_argument("--int8-dw", action="store_true",
                    help="with --int8: depthwise convs int8 too (per-channel "
                    "activation scales; the measured-fastest serving forward)")
+    p.add_argument("--int8-input", action="store_true",
+                   help="with --int8: host-quantized staging (the stem's "
+                   "device-exact u8->s8 LUT applied during batch assembly "
+                   "by the threaded C++ kernel; bit-identical results, "
+                   "+2%% device rate, costs ~1 host core-second per 2-3 GB "
+                   "staged — see PERFORMANCE.md r3b)")
     p.add_argument("--max-dets", type=int, default=100,
                    help="serving decode top-K per image (eval default 200; "
                    "100 is the measured serving profile); 0 = detector K")
@@ -46,6 +52,8 @@ def main(argv=None):
     p.add_argument("--out", default=None,
                    help="write one JSON line per image (boxes/scores)")
     args = p.parse_args(argv)
+    if args.int8_input and not args.int8:
+        p.error("--int8-input requires --int8 (the LUT is the int8 stem's)")
 
     import cv2
     import numpy as np
@@ -120,6 +128,7 @@ def main(argv=None):
         score_thresh=args.thresh,
         max_dets=args.max_dets or None,
         batch_ladder=ladder,
+        int8_input=args.int8_input,
     ) as router:
         futures = [(n, router.submit(im)) for n, im in zip(names, images)]
         n_faces = 0

@@ -137,6 +137,7 @@ class Detector:
 
             self._engine = PlanarEngine(self.variables, self.config.model)
         self._quant = None  # set by quantize(): opt-in W8A8 serving forward
+        self._stem_lut = None  # lazy (256,3) LUT for int8-input staging
         # bumped on every weights/forward swap (reload/quantize/dequantize);
         # external program caches (e.g. ServingEngine's DP wrapper cache)
         # key on it to drop stale compiled programs
@@ -363,6 +364,23 @@ class Detector:
                 fn = self._fn_cache.setdefault(key, run)
         return fn
 
+    def stem_input_lut(self) -> np.ndarray:
+        """(256, 3) int8 LUT for the int8-input staging path (host-side
+        uint8 -> int8 quantization of pre-sized frames; see
+        quant.engine.stem_input_lut for the exactness argument). Built once
+        on the current backend and cached — it depends only on the
+        preprocess config, not on the weights."""
+        if self._quant is None or not self.config.model.stem_preprocess:
+            raise ValueError(
+                "stem_input_lut requires a quantize()d detector with the "
+                "stem-baked preprocess"
+            )
+        if self._stem_lut is None:
+            from tpucenterface.quant.engine import stem_input_lut
+
+            self._stem_lut = stem_input_lut(self.config.preprocess)
+        return self._stem_lut
+
     def _identity_for(self, padded_hw, size: int, hws) -> bool:
         """True when every image in the call is exactly the model size, so
         the identity-preprocess program applies (letterbox == scale 1/pad 0;
@@ -434,14 +452,37 @@ class Detector:
         size: int,
         identity: bool = False,
         max_dets: Optional[int] = None,
+        int8_in: bool = False,
     ):
-        key = ("batch", batch, padded_hw, size, identity, max_dets)
+        """int8_in: the program takes HOST-QUANTIZED int8 images (the stem's
+        LUT applied during staging — see stem_input_lut) instead of raw
+        uint8, removing the on-device input quantize pass and shrinking the
+        input retiling copy (measured 25.62 -> 25.12 ms at bs128 @640 int8_dw,
+        PERFORMANCE.md r3b). Requires the int8 forward (quantize()), a
+        stem_preprocess model, and the identity (pre-sized) path — the
+        letterbox resize is a float op and cannot consume quantized pixels.
+        """
+        if int8_in:
+            if not identity:
+                raise ValueError("int8_in requires the identity path")
+            if self._quant is None or not self.config.model.stem_preprocess:
+                raise ValueError(
+                    "int8_in requires a quantize()d detector with the "
+                    "stem-baked preprocess (stem_preprocess=True)"
+                )
+        key = ("batch", batch, padded_hw, size, identity, max_dets, int8_in)
         def build():
             raw = self.config.model.stem_preprocess
 
             @jax.jit
             def run(imgs_u8: jnp.ndarray, hws: jnp.ndarray):
-                if identity:
+                if int8_in:
+                    # already LUT-quantized on the host; the engine's stem
+                    # consumes int8 directly (QuantEngine._conv)
+                    x = imgs_u8
+                    scales = jnp.ones((batch,), jnp.float32)
+                    pads = jnp.zeros((batch, 2), jnp.float32)
+                elif identity:
                     from tpucenterface.preprocess import normalize_images
 
                     x = normalize_images(imgs_u8, self.config.preprocess, raw=raw)
@@ -473,6 +514,7 @@ class Detector:
         size: int,
         identity: bool = False,
         max_dets: Optional[int] = None,
+        int8_in: bool = False,
     ):
         """Like `_batch_fn`, but compiled with XLA-chosen (AUTO) parameter
         layouts. Returns (callable, input_formats_or_None).
@@ -485,12 +527,19 @@ class Detector:
         path of a pipelined serving loop. Falls back to the plain program
         (formats None) when the backend/API doesn't support it.
         """
-        key = ("batch_auto", batch, padded_hw, size, identity, max_dets)
+        key = ("batch_auto", batch, padded_hw, size, identity, max_dets, int8_in)
 
         def build():
             fn = self._batch_fn(
-                batch, padded_hw, size, identity=identity, max_dets=max_dets
+                batch, padded_hw, size, identity=identity, max_dets=max_dets,
+                int8_in=int8_in,
             )
+            if int8_in:
+                # measured (PERFORMANCE.md r3b): default layouts beat AUTO
+                # for the int8-input program (25.12 vs 25.36 ms) — the input
+                # retiling AUTO avoids for uint8 is cheaper from int8, and
+                # AUTO's parameter-layout choice costs more than it saves
+                return (fn, None)
             try:
                 from jax.experimental.layout import Format, Layout
 

@@ -32,6 +32,64 @@ from tpucenterface.config import ModelConfig
 from tpucenterface.model.backbone import backbone_plan
 
 
+def stem_input_lut(pp_cfg) -> np.ndarray:
+    """(256, 3) int8 LUT: raw uint8 pixel -> the stem conv's int8 input.
+
+    stem_preprocess models feed `u - 255*mean` (raw-scale, mean-centered,
+    original channel order — the BGR flip and /std live in the baked stem
+    kernel), quantized with the FIXED config-derived scale
+    max(255*mean, 255*(1-mean))/127. Both steps are per-channel functions of
+    the uint8 value alone, so the whole in-program input chain collapses to
+    this 256-entry per-channel table. Applying it during host staging and
+    feeding int8 removes the program's quantize pass and shrinks its input
+    retiling copy (measured 0.49 ms at bs128 @640, PERFORMANCE.md r3b).
+
+    Exactness: the table is built by running the EXACT in-program chain
+    (normalize_images(raw=True) -> round(x/sx) in f32) on the current
+    default backend over the full 256-value ramp — on TPU the divide is a
+    reciprocal approximation that a host-side float recomputation does NOT
+    reproduce (measured: plain numpy differs), so bit-equality with the
+    in-program quantization holds by construction, not by reimplementation.
+    """
+    import jax
+
+    from tpucenterface.preprocess import normalize_images
+
+    mean = np.asarray(pp_cfg.mean, np.float64) * 255.0
+    sx = np.float32(float(np.max(np.maximum(mean, 255.0 - mean))) / 127.0)
+    ramp = np.tile(
+        np.arange(256, dtype=np.uint8)[None, :, None, None], (1, 1, 1, 3)
+    )
+
+    @jax.jit
+    def build(u):
+        x = normalize_images(u, pp_cfg, raw=True)
+        return jnp.clip(
+            jnp.round(x.astype(jnp.float32) / jnp.float32(sx)), -127, 127
+        ).astype(jnp.int8)
+
+    return np.asarray(build(ramp)).reshape(256, 3)
+
+
+def apply_stem_lut(
+    imgs_u8: np.ndarray, lut: np.ndarray, nthreads: int = 0
+) -> np.ndarray:
+    """Host application of `stem_input_lut` to (..., 3) uint8 -> int8.
+
+    Uses the threaded C++ staging kernel (native/stage_ext.cpp) when the
+    toolchain is available; falls back to per-channel numpy fancy indexing
+    (correct but ~10x slower — fine for tests, not for a serving loop)."""
+    from tpucenterface import native
+
+    out = native.stem_lut_apply(imgs_u8, lut, nthreads=nthreads)
+    if out is not None:
+        return out
+    out = np.empty(imgs_u8.shape, np.int8)
+    for c in range(3):
+        out[..., c] = lut[:, c][imgs_u8[..., c]]
+    return out
+
+
 def _quantize_weight(k: jnp.ndarray):
     """Per-output-channel symmetric int8 weight quant; k is HWIO."""
     amax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
@@ -47,6 +105,7 @@ class QuantEngine:
         cfg: ModelConfig,
         int8_dw: bool = False,
         pp_cfg=None,
+        skip_tags=(),
     ):
         """int8_dw: also quantize the depthwise convs (int8 x int8 -> int32
         on the VPU) and chain expand->dw->project in int8 — halves the
@@ -58,6 +117,11 @@ class QuantEngine:
         variant (8-12% head-map error -> ~1-2%)."""
         self.cfg = cfg
         self.int8_dw = int8_dw
+        # convs (by tag) kept bf16 inside an otherwise-int8 forward: the
+        # early 320^2 layers are emitter-bound, not MXU-rate-bound, so int8
+        # buys them nothing while costing quantization error (see the
+        # mixed-precision probe in PERFORMANCE.md round 3b)
+        self.skip_tags = frozenset(skip_tags)
         self.p = jax.tree.map(jnp.asarray, folded_variables["params"])
         if "fused" not in self.p.get("heads", {}):
             from tpucenterface.weights.fold import fuse_head_params
@@ -121,7 +185,17 @@ class QuantEngine:
         """
         kh = k.shape[0]
         pad = (kh - 1) // 2
-        quantize = mode == "quant" and (groups == 1 or self.int8_dw)
+        quantize = (
+            mode == "quant"
+            and (groups == 1 or self.int8_dw)
+            and tag not in self.skip_tags
+        )
+        if out_int8_tag is not None and (
+            out_int8_tag in self.skip_tags or mode != "quant"
+        ):
+            # consumer stays bf16 (or we're not quantizing): don't emit its
+            # int8 quantization from this epilogue
+            out_int8_tag = None
         # depthwise convs never mix channels -> per-channel activation quant
         per_channel = groups > 1 and self.int8_dw
         if mode == "calibrate":
@@ -134,7 +208,16 @@ class QuantEngine:
                 else jnp.max(jnp.abs(x))
             )
         if quantize:
-            if tag == "stem" and self.cfg.stem_preprocess:
+            if x.dtype == jnp.int8:
+                # producer (or the host staging path, for the stem) already
+                # emitted this conv's quantization — see stem_lut_u8_to_s8
+                sx = (
+                    jnp.float32(self._stem_fixed_scale())
+                    if tag == "stem" and self.cfg.stem_preprocess
+                    else self._act_scale(tag)
+                )
+                xq = x
+            elif tag == "stem" and self.cfg.stem_preprocess:
                 # stem_preprocess models feed `pixel - 255*mean` raw-scale
                 # values: the range is FIXED by config constants
                 # (|x| <= max(255*mean, 255*(1-mean)) ~ 151), so the stem
@@ -146,9 +229,6 @@ class QuantEngine:
                 xq = jnp.clip(
                     jnp.round(x.astype(jnp.float32) / sx), -127, 127
                 ).astype(jnp.int8)
-            elif x.dtype == jnp.int8:
-                sx = self._act_scale(tag)
-                xq = x  # producer already emitted this conv's quantization
             else:
                 sx = self._act_scale(tag)
                 xq = jnp.clip(

@@ -84,6 +84,16 @@ class ServingEngine:
         the eval default (DecodeConfig.max_dets=200). K=100 halves the
         top-k/gather cost (measured 1.31 -> 0.86 ms at bs128 @640); None
         keeps the detector's configured K.
+      int8_input: host-quantized staging (requires a quantize()d detector
+        with the stem-baked preprocess). Identity launches apply the stem's
+        device-exact uint8->int8 LUT during batch assembly (threaded C++
+        kernel, native/stage_ext.cpp) and run the int8-input program, which
+        skips the on-device input quantize pass and shrinks the input
+        retiling copy — measured 25.62 -> 25.12 ms at bs128 @640 int8_dw
+        (PERFORMANCE.md r3b). Costs ~1 host core-second per ~2-3 GB staged:
+        budget CPU accordingly (a v5e serving host has >=14 vCPU/chip; this
+        dev container has 1, so its WALL rate understates the path).
+        Letterbox (non-identity) launches fall back to the uint8 program.
       mesh: optional 1-D 'data' jax.sharding.Mesh — launches run
         data-parallel over it (inputs put_sharded, programs jitted with
         batch shardings via runtime.sharding.shard_batch_fn). This is the
@@ -102,6 +112,7 @@ class ServingEngine:
         mesh=None,
         batch_ladder: Optional[Sequence[int]] = None,
         max_dets: Optional[int] = None,
+        int8_input: bool = False,
     ):
         if device_batch < 1:
             raise ValueError("device_batch must be >= 1")
@@ -130,6 +141,7 @@ class ServingEngine:
                     f"{self._nd}-device mesh: {sorted(ladder)}"
                 )
         self.batch_ladder = tuple(sorted(ladder))
+        self.int8_input = bool(int8_input)
         # serving decode profile: cap K below the eval default (200) —
         # K=100 halves the top-k/gather cost (Detector._decode docstring)
         self.max_dets = max_dets
@@ -165,17 +177,17 @@ class ServingEngine:
     # core: launch one coalesced group / fetch its results
     # ------------------------------------------------------------------ #
 
-    def _fn(self, batch: int, identity: bool = False):
+    def _fn(self, batch: int, identity: bool = False, int8_in: bool = False):
         """-> (callable, input_formats_or_None) for one launch size."""
         if self.mesh is None:
             return self.det._batch_fn_auto(
                 batch, self.padded_hw, self.size, identity=identity,
-                max_dets=self.max_dets,
+                max_dets=self.max_dets, int8_in=int8_in,
             )
         # the detector bumps weights_version on reload/quantize/dequantize;
         # stale DP wrappers must not keep serving the old weights
         ver = self.det.weights_version
-        key = (batch, identity, ver)
+        key = (batch, identity, int8_in, ver)
         wrapped = self._dp_cache.get(key)
         if wrapped is None:
             # evict wrappers compiled against old weights versions — rolling
@@ -188,7 +200,7 @@ class ServingEngine:
             wrapped = shard_batch_fn(
                 self.det._batch_fn(
                     batch, self.padded_hw, self.size, identity=identity,
-                    max_dets=self.max_dets,
+                    max_dets=self.max_dets, int8_in=int8_in,
                 ),
                 self.mesh,
                 num_batch_args=2,
@@ -231,7 +243,28 @@ class ServingEngine:
             self.padded_hw, self.size,
             np.concatenate([r.hws for r in group]),
         )
-        if len(group) == 1 and group[0].n == b:
+        use_i8 = self.int8_input and identity
+        if use_i8:
+            # host-quantized staging: the stem's device-exact u8->s8 LUT is
+            # applied while assembling the launch buffer (threaded C++
+            # kernel; numpy fallback), and the int8-input program runs.
+            # Pad rows get LUT(0) — the same black pixels the uint8 path's
+            # zero fill means — so padded launches stay bit-identical.
+            from tpucenterface.quant.engine import apply_stem_lut
+            from tpucenterface import native
+
+            lut = self.det.stem_input_lut()
+            imgs = np.empty((b, *self.padded_hw, 3), np.int8)
+            hws = np.full((b, 2), self.size, np.int32)
+            if b > total:
+                imgs[total:] = lut[0]
+            o = 0
+            for r in group:
+                if native.stem_lut_apply(r.images, lut, out=imgs[o : o + r.n]) is None:
+                    imgs[o : o + r.n] = apply_stem_lut(r.images, lut)
+                hws[o : o + r.n] = r.hws
+                o += r.n
+        elif len(group) == 1 and group[0].n == b:
             # request already spans the device batch: no assembly copy
             imgs, hws = group[0].images, group[0].hws
         else:
@@ -246,7 +279,7 @@ class ServingEngine:
         with self._stats_lock:
             self._n_launches += 1
             self._n_pad_images += b - total
-        fn, fmts = self._fn(b, identity=identity)
+        fn, fmts = self._fn(b, identity=identity, int8_in=use_i8)
         if self.mesh is not None:
             from tpucenterface.runtime.sharding import put_sharded
 
