@@ -645,3 +645,34 @@ def test_int8_input_requires_quantized_detector(det):
     with pytest.raises(ValueError, match="quantize"):
         fut.result(timeout=120)
     eng.close()
+
+
+def test_dp_int8_input_serving_matches_single_device(det):
+    """int8_input staging composes with mesh= DP serving: the LUT-staged
+    int8 launch shards over the 8-fake-device mesh and matches the
+    single-device int8_input engine bit-for-bit."""
+    from tpucenterface.runtime.sharding import data_mesh
+
+    rng = np.random.RandomState(45)
+    det.quantize(
+        calib_images=rng.randint(0, 255, (4, *HW, 3), np.uint8), int8_dw=True
+    )
+    try:
+        reqs = _requests(3, 4, seed=46)  # 12 imgs over device_batch 8
+        ref = list(
+            ServingEngine(
+                det, HW, device_batch=8, score_thresh=-1.0, int8_input=True
+            ).map_stream((r, None) for r in reqs)
+        )
+        with ServingEngine(
+            det, HW, device_batch=8, score_thresh=-1.0,
+            mesh=data_mesh(), int8_input=True,
+        ) as eng:
+            futs = [eng.submit(r) for r in reqs]
+            dp = [f.result(timeout=300) for f in futs]
+        for rs, gs in zip(ref, dp):
+            for rd, gd in zip(rs, gs):
+                np.testing.assert_array_equal(rd.boxes, gd.boxes)
+                np.testing.assert_array_equal(rd.scores, gd.scores)
+    finally:
+        det.dequantize()
