@@ -196,3 +196,30 @@ def test_eval_wider_cli_on_synthetic_mat(tmp_path, capsys):
     ])
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(out2) == {"AP_easy", "AP_medium", "AP_hard"}
+
+
+def test_eval_wider_cli_int8(tmp_path, capsys):
+    """--int8 evaluates the W8A8 serving forward's AP (calibrating on real
+    eval images) — the real-data check behind the serving int8 AP pin."""
+    import os
+
+    from tests.test_wider_eval import (
+        _fake_image_dataset,
+        _write_synthetic_mat_gt,
+    )
+    from tpucenterface.cli.eval_wider import main as eval_main
+
+    gt_dir, img_root = str(tmp_path / "gt"), str(tmp_path / "imgs")
+    os.makedirs(gt_dir)
+    _write_synthetic_mat_gt(gt_dir)
+    _fake_image_dataset(img_root)
+
+    eval_main([
+        "--gt-dir", gt_dir, "--images-root", img_root,
+        "--int8", "--int8-dw", "--batch-size", "4", "--size", "64",
+    ])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert any("calibrated on" in l for l in lines)
+    out = json.loads(lines[-1])
+    assert set(out) == {"AP_easy", "AP_medium", "AP_hard"}
+    assert all(0.0 <= v <= 1.0 for v in out.values())

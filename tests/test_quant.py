@@ -238,3 +238,60 @@ def test_skip_tags_mixed_precision_knob():
         b2 = np.asarray(q[k], np.float32)
         rng_k = max(float(a.max() - a.min()), 1e-3)
         assert float(np.abs(a - b2).mean()) / rng_k < 0.05, k
+
+
+def test_percentile_calibration_clips_outliers():
+    """calibrate(percentile=) must shrink scales stretched by rare outliers
+    and IMPROVE accuracy on clean data (the grid stops covering the spike);
+    per-channel depthwise entries stay per-channel; bad percentiles raise."""
+    import pytest
+
+    rng = np.random.RandomState(12)
+    cal = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    cal[0, 0, 0, 0] = 500.0  # one absurd spike in the calibration set
+    x = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1  # clean eval data
+
+    _, variables = init_model(CFG, rng=jax.random.PRNGKey(6), input_size=64)
+    folded = fold_variables(variables)
+
+    eng_amax = QuantEngine(folded, CFG, int8_dw=True)
+    s_amax = eng_amax.calibrate([cal])
+    eng_pct = QuantEngine(folded, CFG, int8_dw=True)
+    s_pct = eng_pct.calibrate([cal], percentile=99.5)
+
+    # the spike stretched the amax stem scale; the percentile one ignores it
+    assert s_pct["stem"] < 0.1 * s_amax["stem"], (s_pct["stem"], s_amax["stem"])
+    # per-channel dw entries survive the percentile path
+    assert any(np.asarray(v).ndim == 1 for v in s_pct.values())
+
+    f = eng_amax.float_forward(jnp.asarray(x))
+    qa = eng_amax(jnp.asarray(x))
+    qp = eng_pct(jnp.asarray(x))
+    err = {}
+    for which, q in (("amax", qa), ("pct", qp)):
+        a = np.asarray(f["hm"], np.float32)
+        b = np.asarray(q["hm"], np.float32)
+        err[which] = float(np.abs(a - b).mean()) / max(
+            float(a.max() - a.min()), 1e-3
+        )
+    assert err["pct"] < err["amax"], err
+
+    with pytest.raises(ValueError, match="percentile"):
+        eng_pct.calibrate([cal], percentile=10.0)
+
+
+def test_detector_quantize_percentile_kwarg():
+    """calib_percentile threads from Detector.quantize to the engine."""
+    det = _stem_det()
+    rng = np.random.RandomState(13)
+    calib = rng.randint(0, 255, (2, 64, 64, 3), np.uint8)
+    s_pct = det.quantize(calib_images=calib, calib_percentile=99.0)
+    det.dequantize()
+    s_max = det.quantize(calib_images=calib)
+    det.dequantize()
+    # clip calibration can only shrink scales
+    assert all(
+        np.all(np.asarray(s_pct[k]) <= np.asarray(s_max[k]) + 1e-9)
+        for k in s_max
+    )
+    assert any(float(np.max(s_pct[k])) < float(np.max(s_max[k])) for k in s_max)

@@ -23,7 +23,21 @@ def main(argv=None):
                    help="legacy per-image dispatch (default: bucketed batches"
                         " with device-side flip, the TPU-shaped path)")
     p.add_argument("--batch-size", type=int, default=64)  # 2B=128 flip forwards: the v5e occupancy knee
+    p.add_argument("--size", type=int, default=None,
+                   help="model input size (default: config default, 640)")
+    p.add_argument("--int8", action="store_true",
+                   help="evaluate the W8A8 serving forward's AP (calibrates "
+                   "on the first 8 eval images unless --quant-scales; the "
+                   "direct real-data check behind the serving int8 AP pin)")
+    p.add_argument("--int8-dw", action="store_true",
+                   help="with --int8: per-channel int8 depthwise (the "
+                   "measured-fastest serving forward)")
+    p.add_argument("--quant-scales", default=None,
+                   help="persisted activation-scale JSON "
+                   "(weights.io.save_quant_scales) instead of calibrating")
     args = p.parse_args(argv)
+    if args.int8_dw and not args.int8:
+        p.error("--int8-dw requires --int8")
 
     from tpucenterface.detector import Detector
     from tpucenterface.eval.batch_runner import batched_detect_tta
@@ -37,6 +51,50 @@ def main(argv=None):
     else:
         print("[eval] no --weights: random-init model (AP will be ~0)")
         det = Detector()
+
+    if args.size:
+        import dataclasses
+
+        det.config = dataclasses.replace(det.config, default_size=args.size)
+
+    if args.int8:
+        if args.quant_scales:
+            from tpucenterface.weights.io import load_quant_scales
+
+            det.quantize(
+                scales=load_quant_scales(args.quant_scales),
+                int8_dw=args.int8_dw,
+            )
+            print("[eval] int8 forward with persisted scales")
+        else:
+            # calibrate on real eval images (first 8, resized to model size)
+            import cv2
+            import numpy as np
+            import os
+
+            from tpucenterface.eval.wider_eval import load_wider_gt
+
+            gt = load_wider_gt(args.gt_dir)["easy"]
+            size = det.config.default_size
+            calib = []
+            for ev, fs in zip(gt["events"], gt["files"]):
+                for f in fs:
+                    img = cv2.imread(
+                        os.path.join(args.images_root, ev, f + ".jpg")
+                    )
+                    if img is not None:
+                        calib.append(cv2.resize(img, (size, size)))
+                    if len(calib) >= 8:
+                        break
+                if len(calib) >= 8:
+                    break
+            if not calib:
+                raise SystemExit("[eval] --int8: no calibration images found")
+            det.quantize(
+                calib_images=np.stack(calib).astype(np.uint8),
+                int8_dw=args.int8_dw,
+            )
+            print(f"[eval] int8 forward calibrated on {len(calib)} eval images")
 
     scales = tuple(float(s) for s in args.scales.split(",")) if args.tta else (1.0,)
 

@@ -38,6 +38,10 @@ def main(argv=None):
                    "by the threaded C++ kernel; bit-identical results, "
                    "+2%% device rate, costs ~1 host core-second per 2-3 GB "
                    "staged — see PERFORMANCE.md r3b)")
+    p.add_argument("--calib-percentile", type=float, default=None,
+                   help="with --int8: clip-calibrate activation scales at "
+                   "this percentile of |x| (e.g. 99.9) instead of the max "
+                   "— outlier-robust PTQ")
     p.add_argument("--max-dets", type=int, default=100,
                    help="serving decode top-K per image (eval default 200; "
                    "100 is the measured serving profile); 0 = detector K")
@@ -108,7 +112,8 @@ def main(argv=None):
                 [cv2.resize(im, (det.config.default_size,) * 2)
                  for im in images[: args.device_batch]]
             ).astype(np.uint8)
-            scales = det.quantize(calib_images=calib, int8_dw=args.int8_dw)
+            scales = det.quantize(calib_images=calib, int8_dw=args.int8_dw,
+                                  calib_percentile=args.calib_percentile)
             print(f"[serve] int8 forward calibrated on {len(calib)} images"
                   + (" (int8_dw per-channel)" if args.int8_dw else ""))
             if args.save_scales:

@@ -218,6 +218,7 @@ class Detector:
         size: Optional[int] = None,
         int8_dw: bool = False,
         scales: Optional[Dict[str, Any]] = None,
+        calib_percentile: Optional[float] = None,
     ) -> Dict[str, float]:
         """Switch this Detector to the W8A8 int8 forward (opt-in PTQ).
 
@@ -237,7 +238,10 @@ class Detector:
         activation scales. For deployment, calibrate ONCE, persist the
         returned scales (weights.io.save_quant_scales), and pass them back
         via `scales=` on every serving process — no calibration pass, no
-        run-to-run scale drift across a fleet.
+        run-to-run scale drift across a fleet. `calib_percentile` (e.g.
+        99.9) clip-calibrates each activation scale at that percentile of
+        |x| instead of the max — outlier-robust PTQ when rare activation
+        spikes would stretch the int8 grid (QuantEngine.calibrate).
 
         Concurrency: quantize()/dequantize() swap the forward for
         SUBSEQUENT program builds; launches already in flight keep their
@@ -292,7 +296,7 @@ class Detector:
             raise ValueError(
                 "pass calib_images (uint8), calib_batches, or scales"
             )
-        scales = eng.calibrate(xs)
+        scales = eng.calibrate(xs, percentile=calib_percentile)
         with self._fn_lock:
             self._quant = eng
             self.weights_version += 1

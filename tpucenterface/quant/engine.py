@@ -139,6 +139,7 @@ class QuantEngine:
         self.plan = backbone_plan(cfg)
         self.act_scales: Optional[Dict[str, float]] = None
         self._amax: Dict[str, float] = {}
+        self._calib_percentile: Optional[float] = None
         # required for stem_preprocess models (fixed stem input scale);
         # Detector.quantize always passes it
         self.pp_cfg = pp_cfg
@@ -201,12 +202,27 @@ class QuantEngine:
         if mode == "calibrate":
             # traced: collected into the jitted calibration forward's output
             # (one device fetch per BATCH instead of one blocking sync per
-            # conv — ~60 relay round trips saved per calibration batch)
-            self._amax_collector[tag] = (
-                jnp.max(jnp.abs(x), axis=(0, 1, 2))
-                if per_channel
-                else jnp.max(jnp.abs(x))
-            )
+            # conv — ~60 relay round trips saved per calibration batch).
+            # percentile calibration (calibrate(percentile=)) clips
+            # activation outliers: the scale covers the q-th percentile of
+            # |x| instead of the max, trading bounded clip error on the
+            # tail for finer resolution on the bulk (standard PTQ practice
+            # when a few outlier activations would stretch the int8 grid)
+            a = jnp.abs(x)
+            q = self._calib_percentile
+            if per_channel:
+                self._amax_collector[tag] = (
+                    jnp.max(a, axis=(0, 1, 2)) if q is None
+                    else jnp.percentile(
+                        a.reshape(-1, a.shape[-1]).astype(jnp.float32),
+                        q, axis=0,
+                    )
+                )
+            else:
+                self._amax_collector[tag] = (
+                    jnp.max(a) if q is None
+                    else jnp.percentile(a.astype(jnp.float32), q)
+                )
         if quantize:
             if x.dtype == jnp.int8:
                 # producer (or the host staging path, for the stem) already
@@ -342,13 +358,23 @@ class QuantEngine:
 
     # ------------------------------------------------------------------ #
 
-    def calibrate(self, batches: List[np.ndarray]) -> Dict[str, float]:
+    def calibrate(
+        self, batches: List[np.ndarray], percentile: Optional[float] = None
+    ) -> Dict[str, float]:
         """Run bf16 forwards recording per-conv-input amax -> set act scales.
 
         batches: normalized NHWC float arrays (same distribution as serving).
         The forward runs jitted and returns the whole {tag: amax} pytree, so
         calibration costs one dispatch + one fetch per batch.
+
+        percentile: e.g. 99.9 — clip-calibrate each activation scale at the
+        q-th percentile of |x| (per-channel for depthwise under int8_dw)
+        instead of the max; batches still aggregate by max of per-batch
+        percentiles (conservative). None keeps exact amax calibration.
         """
+        if percentile is not None and not 50.0 < percentile <= 100.0:
+            raise ValueError(f"percentile must be in (50, 100], got {percentile}")
+        self._calib_percentile = percentile
         self._amax = {}
 
         def fwd_amax(x):
