@@ -141,6 +141,41 @@ def test_serve_cli_int8_input_bit_identical(tmp_path):
         serve_main(["--source", "synthetic", "--int8-input"])
 
 
+def test_serve_cli_qat_roundtrip(tmp_path, capsys):
+    """serve --int8 --qat-steps persists scales + fine-tuned params; a
+    second run installing --scales + --qat-params reproduces the QAT run's
+    detections exactly (no recalibration, no re-fine-tune)."""
+    import pytest
+
+    from tpucenterface.cli.serve import main as serve_main
+
+    out1 = str(tmp_path / "qat.jsonl")
+    out2 = str(tmp_path / "restored.jsonl")
+    scales = str(tmp_path / "scales.json")
+    qparams = str(tmp_path / "qat.safetensors")
+    common = [
+        "--source", "synthetic", "--n-synthetic", "6", "--device-batch", "4",
+        "--size", "64", "--thresh", "-1.0", "--int8", "--int8-dw",
+    ]
+    serve_main(common + ["--qat-steps", "5", "--save-scales", scales,
+                         "--save-qat-params", qparams, "--out", out1])
+    text = capsys.readouterr().out
+    assert "QAT fine-tune" in text and "loss_first" in text
+    serve_main(common + ["--scales", scales, "--qat-params", qparams,
+                         "--out", out2])
+    a = [json.loads(l) for l in open(out1)]
+    b = [json.loads(l) for l in open(out2)]
+    assert len(a) == len(b) == 6
+    for ra, rb in zip(a, b):
+        assert ra["scores"] == rb["scores"]
+        assert ra["boxes"] == rb["boxes"]
+    # guards: QAT needs calibration; --qat-params needs --scales
+    with pytest.raises(SystemExit):
+        serve_main(common + ["--scales", scales, "--qat-steps", "5"])
+    with pytest.raises(SystemExit):
+        serve_main(common + ["--qat-params", qparams])
+
+
 def test_port_weights_cli_report(tmp_path, capsys):
     """--report prints the auto-map analysis without writing output."""
     from tpucenterface.cli.port_weights import main as port_main

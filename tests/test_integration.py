@@ -159,3 +159,23 @@ def test_train_detect_eval_loop(tmp_path):
     finally:
         det.dequantize()
     assert ap_dw >= ap - 0.1, f"int8_dw AP {ap_dw} vs float AP {ap}"
+
+    # QAT on a TRAINED model (the setting the product claim is about —
+    # random-weight PTQ error is near-unstructured noise, trained-model
+    # error has the systematic component QAT removes): fine-tune must
+    # measurably shrink the real-path head-map loss AND hold the AP pin.
+    det.quantize(calib_images=calib, int8_dw=True, qat_steps=15)
+    try:
+        m = det.last_qat_metrics
+        assert m is not None and m["loss_last"] < m["loss_first"], m
+        dets_qat = []
+        for i in range(10):
+            img, boxes = _synth_image(np.random.RandomState(1000 + i))
+            b, s = det.detect(img, score_thresh=0.05)[:2]
+            dets_qat.append(
+                np.concatenate([b.reshape(-1, 4), s.reshape(-1, 1)], axis=1)
+            )
+        ap_qat = evaluate_detections(dets_qat, gts, keeps)
+    finally:
+        det.dequantize()
+    assert ap_qat >= ap - 0.1, f"QAT int8 AP {ap_qat} vs float AP {ap}"

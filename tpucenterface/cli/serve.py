@@ -53,11 +53,30 @@ def main(argv=None):
                    "weights.io.save_quant_scales)")
     p.add_argument("--save-scales", default=None,
                    help="after calibrating, persist the scales here")
+    p.add_argument("--qat-steps", type=int, default=0,
+                   help="with --int8 calibration: follow PTQ with "
+                   "quantization-aware fine-tuning (bias correction + this "
+                   "many STE steps of self-distillation on the calibration "
+                   "batch; quant.qat) — never worse than PTQ on the "
+                   "calibration set by construction")
+    p.add_argument("--qat-params", default=None,
+                   help="persisted QAT-fine-tuned serving params "
+                   "(.safetensors from --save-qat-params); use with --scales")
+    p.add_argument("--save-qat-params", default=None,
+                   help="after QAT, persist the fine-tuned serving params "
+                   "here (.safetensors; reinstall via --scales + "
+                   "--qat-params)")
     p.add_argument("--out", default=None,
                    help="write one JSON line per image (boxes/scores)")
     args = p.parse_args(argv)
     if args.int8_input and not args.int8:
         p.error("--int8-input requires --int8 (the LUT is the int8 stem's)")
+    if args.qat_steps and args.scales:
+        p.error("--qat-steps needs calibration (omit --scales); reinstall "
+                "persisted QAT output via --scales + --qat-params")
+    if args.qat_params and not args.scales:
+        p.error("--qat-params requires --scales (both halves of the "
+                "persisted QAT output)")
 
     import cv2
     import numpy as np
@@ -98,10 +117,18 @@ def main(argv=None):
         if args.scales:
             from tpucenterface.weights.io import load_quant_scales
 
+            quant_params = None
+            if args.qat_params:
+                from tpucenterface.weights.io import load_safetensors
+
+                quant_params = load_safetensors(args.qat_params)["params"]
             scales = det.quantize(
-                scales=load_quant_scales(args.scales), int8_dw=args.int8_dw
+                scales=load_quant_scales(args.scales), int8_dw=args.int8_dw,
+                quant_params=quant_params,
             )
-            print(f"[serve] int8 forward with persisted scales {args.scales}")
+            print(f"[serve] int8 forward with persisted scales {args.scales}"
+                  + (f" + QAT params {args.qat_params}"
+                     if args.qat_params else ""))
             if args.save_scales:  # re-export the INSTALLED scales
                 from tpucenterface.weights.io import save_quant_scales
 
@@ -113,14 +140,23 @@ def main(argv=None):
                  for im in images[: args.device_batch]]
             ).astype(np.uint8)
             scales = det.quantize(calib_images=calib, int8_dw=args.int8_dw,
-                                  calib_percentile=args.calib_percentile)
+                                  calib_percentile=args.calib_percentile,
+                                  qat_steps=args.qat_steps)
             print(f"[serve] int8 forward calibrated on {len(calib)} images"
                   + (" (int8_dw per-channel)" if args.int8_dw else ""))
+            if args.qat_steps:
+                print(f"[serve] QAT fine-tune: {det.last_qat_metrics}")
             if args.save_scales:
                 from tpucenterface.weights.io import save_quant_scales
 
                 save_quant_scales(scales, args.save_scales)
                 print(f"[serve] scales persisted to {args.save_scales}")
+            if args.save_qat_params:
+                from tpucenterface.weights.io import save_safetensors
+
+                save_safetensors(det.quant_variables, args.save_qat_params)
+                print(f"[serve] QAT params persisted to "
+                      f"{args.save_qat_params}")
 
     out_f = open(args.out, "w") if args.out else None
     t0 = time.perf_counter()

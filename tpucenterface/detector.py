@@ -138,6 +138,7 @@ class Detector:
             self._engine = PlanarEngine(self.variables, self.config.model)
         self._quant = None  # set by quantize(): opt-in W8A8 serving forward
         self._stem_lut = None  # lazy (256,3) LUT for int8-input staging
+        self.last_qat_metrics = None  # quantize(qat_steps=) fine-tune metrics
         # bumped on every weights/forward swap (reload/quantize/dequantize);
         # external program caches (e.g. ServingEngine's DP wrapper cache)
         # key on it to drop stale compiled programs
@@ -219,6 +220,9 @@ class Detector:
         int8_dw: bool = False,
         scales: Optional[Dict[str, Any]] = None,
         calib_percentile: Optional[float] = None,
+        qat_steps: int = 0,
+        qat_lr: float = 1e-4,
+        quant_params: Optional[Dict[str, Any]] = None,
     ) -> Dict[str, float]:
         """Switch this Detector to the W8A8 int8 forward (opt-in PTQ).
 
@@ -242,6 +246,19 @@ class Detector:
         99.9) clip-calibrates each activation scale at that percentile of
         |x| instead of the max — outlier-robust PTQ when rare activation
         spikes would stretch the int8 grid (QuantEngine.calibrate).
+
+        QAT: `qat_steps > 0` follows calibration with label-free
+        quantization-aware fine-tuning (quant.qat.qat_finetune) on the same
+        calibration batches: per-channel bias correction against the real
+        int8 path, then `qat_steps` STE self-distillation steps, with the
+        best real-path candidate selected — never worse than the PTQ point
+        on the calibration set. Metrics land in `self.last_qat_metrics`
+        (loss_first = the PTQ operating point, loss_bc after bias
+        correction). The float/parity weights are untouched; dequantize()
+        restores the exact pre-QAT model. For
+        deployment, persist the fine-tuned serving params
+        (`self.quant_variables`) next to the scales and install both via
+        `quantize(scales=..., quant_params=...)`.
 
         Concurrency: quantize()/dequantize() swap the forward for
         SUBSEQUENT program builds; launches already in flight keep their
@@ -269,7 +286,16 @@ class Detector:
             int8_dw=int8_dw,
             pp_cfg=self.config.preprocess,
         )
+        if quant_params is not None:
+            # persisted QAT-fine-tuned serving params (see quant_variables)
+            eng.p = jax.tree.map(jnp.asarray, quant_params)
         if scales is not None:
+            if qat_steps:
+                raise ValueError(
+                    "qat_steps needs calibration batches (pass calib_images/"
+                    "calib_batches); with persisted scales, install the "
+                    "persisted QAT params via quant_params= instead"
+                )
             eng.set_scales(scales)
             with self._fn_lock:
                 self._quant = eng
@@ -297,6 +323,12 @@ class Detector:
                 "pass calib_images (uint8), calib_batches, or scales"
             )
         scales = eng.calibrate(xs, percentile=calib_percentile)
+        if qat_steps:
+            from tpucenterface.quant.qat import qat_finetune
+
+            self.last_qat_metrics = qat_finetune(
+                eng, xs, steps=qat_steps, lr=qat_lr
+            )
         with self._fn_lock:
             self._quant = eng
             self.weights_version += 1
@@ -347,6 +379,16 @@ class Detector:
             self._quant = None
             self.weights_version += 1
             self._fn_cache.clear()
+
+    @property
+    def quant_variables(self) -> Dict[str, Any]:
+        """{"params": ...} of the ACTIVE int8 serving forward — differs from
+        `self.variables` after QAT (quantize(qat_steps=)). Persist with
+        weights.io.save_safetensors and reinstall in a fresh process via
+        quantize(scales=..., quant_params=loaded["params"])."""
+        if self._quant is None:
+            raise ValueError("quant_variables requires a quantize()d detector")
+        return {"params": self._quant.p}
 
     def dequantize(self) -> None:
         """Return to the default bf16 forward."""

@@ -13,5 +13,6 @@ Workflow:
 """
 
 from tpucenterface.quant.engine import QuantEngine
+from tpucenterface.quant.qat import qat_finetune
 
-__all__ = ["QuantEngine"]
+__all__ = ["QuantEngine", "qat_finetune"]

@@ -98,6 +98,38 @@ def _quantize_weight(k: jnp.ndarray):
     return kq, sw.astype(jnp.float32)
 
 
+def fake_quant(x: jnp.ndarray, s) -> jnp.ndarray:
+    """Differentiable int8 quantize-dequantize (straight-through estimator).
+
+    Forward: clip(round(x/s), -127, 127) * s — the exact value the int8
+    path's (quantize, epilogue-rescale) pair reconstructs. Backward: the
+    round is transparent (grad 1) inside the representable range and 0
+    where the clip saturates (the standard STE with clip-masking); the
+    scale `s` is treated as a constant (stop-gradient), matching PTQ's
+    frozen calibrated activation scales."""
+    s = jax.lax.stop_gradient(jnp.asarray(s, jnp.float32))
+    q = x.astype(jnp.float32) / s
+    y = jnp.clip(jnp.round(q), -127.0, 127.0) * s
+    in_range = (q >= -127.0) & (q <= 127.0)
+    x32 = x.astype(jnp.float32)
+    return jnp.where(
+        in_range,
+        x32 + jax.lax.stop_gradient(y - x32),
+        jax.lax.stop_gradient(y),
+    )
+
+
+def fake_quant_weight(k: jnp.ndarray) -> jnp.ndarray:
+    """STE fake-quant of an HWIO kernel with the SAME per-output-channel
+    scale rule `_quantize_weight` applies at serving trace time — what QAT
+    optimizes is bit-aligned with what serves. The scale is recomputed from
+    the live weights every step (stop-gradient on the scale itself)."""
+    k32 = k.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(k32), axis=(0, 1, 2))
+    sw = jnp.maximum(amax, 1e-8) / 127.0
+    return fake_quant(k32, sw)
+
+
 class QuantEngine:
     def __init__(
         self,
@@ -187,12 +219,13 @@ class QuantEngine:
         kh = k.shape[0]
         pad = (kh - 1) // 2
         quantize = (
-            mode == "quant"
+            mode in ("quant", "fakequant")
             and (groups == 1 or self.int8_dw)
             and tag not in self.skip_tags
         )
         if out_int8_tag is not None and (
-            out_int8_tag in self.skip_tags or mode != "quant"
+            out_int8_tag in self.skip_tags
+            or mode not in ("quant", "fakequant")
         ):
             # consumer stays bf16 (or we're not quantizing): don't emit its
             # int8 quantization from this epilogue
@@ -223,7 +256,32 @@ class QuantEngine:
                     jnp.max(a) if q is None
                     else jnp.percentile(a.astype(jnp.float32), q)
                 )
-        if quantize:
+        if quantize and mode == "fakequant":
+            # Differentiable f32 simulation of the int8 branch below (same
+            # scales, same rounding — quant.qat): STE gradients flow into
+            # k/b. out_int8 chaining is skipped (guard above); the consumer
+            # applies the identical fake-quant at its own scale instead,
+            # which is the same function the chained epilogue computes.
+            if tag == "stem" and self.cfg.stem_preprocess:
+                sx = jnp.float32(self._stem_fixed_scale())
+            else:
+                sx = self._act_scale(tag)
+            # idempotent when the producer already applied the chained
+            # epilogue fake-quant at this same scale (round/clip of values
+            # already on the grid is the identity)
+            xq = fake_quant(x, sx)
+            kq = fake_quant_weight(k)
+            y = jax.lax.conv_general_dilated(
+                xq,
+                kq,
+                (stride, stride),
+                [(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups,
+                preferred_element_type=jnp.float32,
+            )
+            y = y + b.astype(jnp.float32)
+        elif quantize:
             if x.dtype == jnp.int8:
                 # producer (or the host staging path, for the stem) already
                 # emitted this conv's quantization — see stem_lut_u8_to_s8
@@ -264,9 +322,13 @@ class QuantEngine:
             )
             y = y.astype(jnp.float32) * (sx * sw) + b.astype(jnp.float32)
         else:
+            # fakequant mode is a differentiable fine-tune path: keep the
+            # non-quantized convs in f32 — a bf16-in/f32-out conv's VJP
+            # builds a mixed-dtype transpose conv, which lax rejects
+            cd = jnp.float32 if mode == "fakequant" else jnp.bfloat16
             y = jax.lax.conv_general_dilated(
-                x.astype(jnp.bfloat16),
-                k.astype(jnp.bfloat16),
+                x.astype(cd),
+                k.astype(cd),
                 (stride, stride),
                 [(pad, pad), (pad, pad)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -274,6 +336,12 @@ class QuantEngine:
                 preferred_element_type=jnp.float32,
             )
             y = y + b.astype(jnp.float32)
+        bc = getattr(self, "_bc_collector", None)
+        if bc is not None and mode in ("float", "quant"):
+            # per-channel pre-activation means for QAT bias correction
+            # (quant.qat.qat_finetune): traced into the jitted forward's
+            # output, same pattern as the calibrate collector
+            bc[tag] = jnp.mean(y.astype(jnp.float32), axis=(0, 1, 2))
         if act == "relu6":
             y = jnp.minimum(jnp.maximum(y, 0.0), 6.0)
         elif act == "relu":
@@ -283,6 +351,12 @@ class QuantEngine:
             return jnp.clip(
                 jnp.round(y.astype(jnp.float32) / s_next), -127, 127
             ).astype(jnp.int8)
+        if mode == "fakequant" and out_int8_tag is not None:
+            # mirror the chained epilogue: quantize from the f32 epilogue
+            # value (the real chain never sees a bf16 write here); returned
+            # as f32 — the consumer's own fake_quant at the same scale is
+            # the identity on these grid values
+            return fake_quant(y, self._act_scale(out_int8_tag))
         return y.astype(out_dtype)
 
     def _act_scale(self, tag: str):
@@ -296,9 +370,12 @@ class QuantEngine:
 
     # ------------------------------------------------------------------ #
 
-    def _forward(self, x: jnp.ndarray, mode: str) -> Dict[str, jnp.ndarray]:
+    def _forward(
+        self, x: jnp.ndarray, mode: str, params: Optional[Dict[str, Any]] = None
+    ) -> Dict[str, jnp.ndarray]:
+        p = self.p if params is None else params
         cfg = self.cfg
-        bb = self.p["backbone"]
+        bb = p["backbone"]
         act = "relu6" if cfg.relu6 else "relu"
 
         def cb(tag, node, z, stride=1, groups=1, a=act, out_int8=None):
@@ -329,7 +406,7 @@ class QuantEngine:
 
         from tpucenterface.model.neck import _upsample2x
 
-        nk = self.p["neck"]
+        nk = p["neck"]
         strides = sorted(feats.keys(), reverse=True)
         y = cb(f"lat{strides[0]}", nk[f"lateral_{strides[0]}"], feats[strides[0]])
         for s in strides[1:]:
@@ -337,7 +414,7 @@ class QuantEngine:
             y = _upsample2x(y) + lat
             y = cb(f"smooth{s}", nk[f"smooth_{s}"], y)
 
-        hf = self.p["heads"]["fused"]
+        hf = p["heads"]["fused"]
         z = self._conv("head.conv", mode, y, hf["conv"]["kernel"],
                        hf["conv"]["bias"], act="relu",
                        out_int8_tag="head.out")
