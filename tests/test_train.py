@@ -256,3 +256,124 @@ def test_loader_workers_deterministic_and_shaped(tmp_path):
         assert ba["image"].shape == (4, 64, 64, 3)
         np.testing.assert_array_equal(ba["image"], bb["image"])
         np.testing.assert_array_equal(ba["hm"], bb["hm"])
+
+
+def test_grad_clip_bounds_update_norm():
+    """make_optimizer(grad_clip_norm>0) clips the global gradient norm
+    BEFORE Adam accumulates it. Adam's direction is scale-invariant, so
+    the observable is its first-moment state: after one update with a
+    norm-5 gradient and clip 1.0, mu = (1-b1) * g_clipped has global norm
+    0.1*1.0; unclipped it would be 0.1*5.0."""
+    from tpucenterface.train.step import make_optimizer
+
+    def find_mu(state):
+        if hasattr(state, "mu"):
+            return state.mu
+        if isinstance(state, (tuple, list)):
+            for s in state:
+                r = find_mu(s)
+                if r is not None:
+                    return r
+        return None
+
+    params = {"w": jnp.zeros((4,), jnp.float32)}
+    big = {"w": jnp.asarray([3.0, 0.0, 4.0, 0.0], jnp.float32)}  # norm 5
+
+    tx = make_optimizer(TrainConfig(grad_clip_norm=1.0, lr=1e-2))
+    _, st = tx.update(big, tx.init(params), params)
+    mu_norm = float(jnp.linalg.norm(find_mu(st)["w"]))
+    np.testing.assert_allclose(mu_norm, 0.1 * 1.0, rtol=1e-5)
+
+    tx0 = make_optimizer(TrainConfig(grad_clip_norm=0.0, lr=1e-2))
+    _, st0 = tx0.update(big, tx0.init(params), params)
+    mu0_norm = float(jnp.linalg.norm(find_mu(st0)["w"]))
+    np.testing.assert_allclose(mu0_norm, 0.1 * 5.0, rtol=1e-5)
+
+
+def test_ema_tracks_params_and_exports(tiny_dataset, tmp_path):
+    """EMA params follow ema = d*ema + (1-d)*params inside the jitted step
+    (checked against a host-side recomputation over real training steps);
+    the loop exports model_ema.safetensors that loads into the Detector."""
+    from tpucenterface.runtime.sharding import data_mesh
+    from tpucenterface.train.loop import train
+    from tpucenterface.train.step import (
+        make_dummy_batch,
+        make_train_state,
+        make_train_step,
+        shard_train_step,
+    )
+
+    mcfg = ModelConfig(compute_dtype="float32")
+    tcfg = TrainConfig(
+        input_size=64, batch_size=8, max_objs=8, lr=1e-3, ema_decay=0.9
+    )
+    model, state, tx = make_train_state(mcfg, tcfg, input_size=64)
+    assert state.ema_params is not None
+    step_fn = make_train_step(model, tx, tcfg)
+    jitted, state = shard_train_step(step_fn, data_mesh(), state)
+    batch = make_dummy_batch(8, 64, tcfg)
+
+    expect = jax.device_get(state.ema_params)
+    for _ in range(3):
+        state, _ = jitted(state, batch)
+        p = jax.device_get(state.params)
+        expect = jax.tree.map(lambda e, q: 0.9 * e + 0.1 * q, expect, p)
+    got = jax.device_get(state.ema_params)
+    flat_e, _ = jax.tree_util.tree_flatten(expect)
+    flat_g, _ = jax.tree_util.tree_flatten(got)
+    for e, g in zip(flat_e, flat_g):
+        np.testing.assert_allclose(g, e, rtol=1e-5, atol=1e-6)
+    # EMA lags the live params (they moved; decay 0.9 over 3 steps)
+    assert any(
+        not np.allclose(g, q)
+        for g, q in zip(flat_g, jax.tree_util.tree_leaves(jax.device_get(state.params)))
+    )
+
+    # loop export: model_ema.safetensors appears and loads into a Detector
+    train(
+        tiny_dataset,
+        model_cfg=mcfg,
+        train_cfg=tcfg,
+        workdir=str(tmp_path / "run"),
+        max_steps=2,
+        ckpt_every=0,
+        log_fn=None,
+    )
+    ema_path = str(tmp_path / "run/model_ema.safetensors")
+    assert os.path.exists(ema_path)
+    from tpucenterface.config import DetectorConfig
+    from tpucenterface.detector import Detector
+
+    det = Detector.from_safetensors(
+        ema_path, config=DetectorConfig(model=mcfg, default_size=64)
+    )
+    b, s = det.detect(np.zeros((64, 64, 3), np.uint8), score_thresh=0.0)[:2]
+    assert np.isfinite(s).all()
+
+
+def test_ema_checkpoint_roundtrip(tiny_dataset, tmp_path):
+    """ema_params survive the orbax checkpoint/restore cycle."""
+    from tpucenterface.train.loop import restore_checkpoint, train
+    from tpucenterface.train.step import make_train_state
+
+    mcfg = ModelConfig(compute_dtype="float32")
+    tcfg = TrainConfig(
+        input_size=64, batch_size=8, max_objs=8, ema_decay=0.95
+    )
+    state = train(
+        tiny_dataset,
+        model_cfg=mcfg,
+        train_cfg=tcfg,
+        workdir=str(tmp_path / "run"),
+        max_steps=2,
+        ckpt_every=2,
+        log_fn=None,
+    )
+    _, template, _ = make_train_state(mcfg, tcfg, input_size=64)
+    restored = restore_checkpoint(str(tmp_path / "run"), template)
+    assert restored is not None and restored.ema_params is not None
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state.ema_params)),
+        jax.tree_util.tree_leaves(restored.ema_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

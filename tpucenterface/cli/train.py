@@ -26,6 +26,11 @@ def main(argv=None):
                    help="loader threads decoding/augmenting ahead; NOTE: "
                    "workers>0 uses per-sample RNG streams, so the sample "
                    "order/augments differ from --workers 0 at equal seed")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="EMA of params inside the jitted step (e.g. 0.9998);"
+                   " exports model_ema.safetensors next to the live weights")
+    p.add_argument("--grad-clip", type=float, default=0.0,
+                   help="global-norm gradient clip ahead of Adam (0 = off)")
     p.add_argument("--bf16-bn", action="store_true",
                    help="bf16 BatchNorm activations (+26%% step throughput "
                    "measured on v5e; stats stay f32 — see PERFORMANCE.md)")
@@ -47,6 +52,8 @@ def main(argv=None):
         batch_size=args.batch_size,
         epochs=args.epochs,
         lr=args.lr,
+        ema_decay=args.ema_decay,
+        grad_clip_norm=args.grad_clip,
     )
 
     def log(step, m):

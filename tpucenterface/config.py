@@ -258,6 +258,15 @@ class TrainConfig:
     # rematerialization: trade FLOPs for activation memory (jax.checkpoint
     # around the forward) — enables bigger per-chip batches at high res
     remat: bool = False
+    # exponential moving average of params (0 = off): a second weight set
+    # updated as ema = d*ema + (1-d)*params inside the jitted step (typical
+    # d 0.999-0.9999); exported as model_ema.safetensors next to the live
+    # weights — the standard detection-serving choice
+    ema_decay: float = 0.0
+    # global-norm gradient clipping (0 = off): optax.clip_by_global_norm
+    # ahead of Adam — guards the occasional exploding focal-loss step on
+    # hard batches without changing well-behaved updates
+    grad_clip_norm: float = 0.0
     # augmentation
     scale_range: Tuple[float, float] = (0.6, 1.4)
     shift_ratio: float = 0.1

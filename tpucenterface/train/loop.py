@@ -51,6 +51,9 @@ def restore_checkpoint(workdir: str, template: TrainState) -> Optional[TrainStat
 
 
 def export_weights(workdir: str, state: TrainState, name: str = "model.safetensors"):
+    """Write the live weights; with EMA on, also model_ema.safetensors
+    (EMA params + the live batch_stats — the running BN stats track the
+    live params, which the EMA set approaches; the standard pairing)."""
     from tpucenterface.weights.io import save_safetensors
 
     path = os.path.join(workdir, name)
@@ -61,6 +64,15 @@ def export_weights(workdir: str, state: TrainState, name: str = "model.safetenso
         },
         path,
     )
+    if state.ema_params is not None:
+        save_safetensors(
+            {
+                "params": jax.device_get(state.ema_params),
+                "batch_stats": jax.device_get(state.batch_stats),
+            },
+            os.path.join(workdir, name.replace(".safetensors", "")
+                         + "_ema.safetensors"),
+        )
     return path
 
 
@@ -108,6 +120,7 @@ def train(
     # pipeline prefetch_to_device sets up. Metrics (device values) are only
     # materialized at log_every/ckpt boundaries.
     start_step = step = int(state.step)
+    last_ckpt_step = -1
     batches = batch_iterator(
         records, train_cfg, seed=seed, wh_log=wh_log, workers=loader_workers
     )
@@ -127,6 +140,10 @@ def train(
             log_fn(step, m)
         if ckpt_every and step % ckpt_every == 0:
             save_checkpoint(workdir, state)
-    save_checkpoint(workdir, state)
+            last_ckpt_step = step
+    if step != last_ckpt_step:
+        # final save unless the periodic save just wrote this exact step
+        # (orbax refuses to overwrite an existing ckpt directory)
+        save_checkpoint(workdir, state)
     export_weights(workdir, state)
     return state

@@ -28,10 +28,15 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     step: jnp.ndarray
+    # EMA weight set (TrainConfig.ema_decay > 0), else None (an empty
+    # pytree — absent from sharding/checkpoint trees when off)
+    ema_params: Any = None
 
 
 jax.tree_util.register_dataclass(
-    TrainState, data_fields=["params", "batch_stats", "opt_state", "step"], meta_fields=[]
+    TrainState,
+    data_fields=["params", "batch_stats", "opt_state", "step", "ema_params"],
+    meta_fields=[],
 )
 
 
@@ -45,6 +50,8 @@ def make_optimizer(
     tx = optax.adam(sched)
     if cfg.weight_decay > 0:
         tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
+    if cfg.grad_clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
     return tx
 
 
@@ -62,6 +69,11 @@ def make_train_state(
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(variables["params"]),
         step=jnp.zeros((), jnp.int32),
+        ema_params=(
+            jax.tree.map(jnp.array, variables["params"])
+            if train_cfg.ema_decay > 0
+            else None
+        ),
     )
     return model, state, tx
 
@@ -107,17 +119,29 @@ def make_train_step(
         total, metrics = detection_loss(outputs, batch, train_cfg)
         return total, (metrics, mutated["batch_stats"])
 
+    ema_d = jnp.float32(train_cfg.ema_decay)
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         (_, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if new_ema is not None:
+            # fused into the step program: one extra multiply-add per param,
+            # no additional dispatch or host traffic
+            new_ema = jax.tree.map(
+                lambda e, p: e * ema_d + p.astype(e.dtype) * (1.0 - ema_d),
+                new_ema,
+                new_params,
+            )
         new_state = TrainState(
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
             step=state.step + 1,
+            ema_params=new_ema,
         )
         return new_state, metrics
 
