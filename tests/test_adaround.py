@@ -1,0 +1,180 @@
+"""AdaRound tests (quant.adaround): learned per-weight rounding for the
+int8 serving forward.
+
+Contract under test: (1) the rectified-sigmoid parameterization starts at
+round-to-nearest, (2) every layer's learned hard rounding reconstructs the
+float layer output at least as well as nearest rounding (per-layer guard)
+and the end-to-end guard never ships a regression, (3) the on-grid
+kernel + frozen weight-scale representation reproduces the learned
+rounding EXACTLY through the normal persistence pair (scales dict +
+params), (4) Detector wiring.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpucenterface.config import DetectorConfig, ModelConfig
+from tpucenterface.model.centernet import init_model
+from tpucenterface.quant import QuantEngine, adaround
+from tpucenterface.quant.adaround import _h, _h_init
+from tpucenterface.weights.fold import fold_variables
+
+# small backbone: adaround optimizes per-layer with eager captures, so the
+# test cost scales ~quadratically with depth — 7 blocks covers every layer
+# kind (expand/dw/project/lat/smooth/heads) at a fraction of the runtime
+CFG = ModelConfig(
+    inverted_residual_setting=(
+        (1, 8, 1, 1),
+        (4, 16, 1, 2),
+        (4, 16, 1, 2),
+        (4, 24, 1, 2),
+        (4, 24, 1, 1),
+        (4, 32, 1, 2),
+        (4, 32, 1, 1),
+    ),
+    stem_channels=8,
+    fpn_channels=16,
+    head_conv=16,
+    compute_dtype="float32",
+)
+
+
+def test_h_init_starts_at_nearest_rounding():
+    r = jnp.asarray(np.linspace(0.001, 0.999, 41), jnp.float32)
+    np.testing.assert_allclose(np.asarray(_h(_h_init(r))), np.asarray(r),
+                               atol=1e-4)
+    # h is bounded [0, 1] for any V
+    v = jnp.asarray([-50.0, -1.0, 0.0, 1.0, 50.0], jnp.float32)
+    h = np.asarray(_h(v))
+    assert (h >= 0).all() and (h <= 1).all()
+
+
+def test_adaround_guards_and_persistence_roundtrip():
+    _, variables = init_model(CFG, rng=jax.random.PRNGKey(6), input_size=64)
+    eng = QuantEngine(fold_variables(variables), CFG, int8_dw=True)
+    rng = np.random.RandomState(1)
+    cal = [rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1 for _ in range(2)]
+    eng.calibrate(cal)
+    report = adaround(eng, cal, steps=25)
+
+    ratios = {k: v for k, v in report.items() if not k.startswith("_")}
+    assert ratios, "no layer was adarounded"
+    assert all(v <= 1.0 + 1e-9 for v in ratios.values()), ratios
+    assert report["_e2e_last"] <= report["_e2e_first"] + 1e-12, report
+
+    if not report["_accepted"]:
+        assert not eng.weight_scales  # clean revert
+        return
+
+    # persistence: a FRESH engine given (scales incl. w:*, on-grid params)
+    # reproduces the learned rounding bit-exactly
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
+    want = eng._forward(x, "quant")
+    scales = dict(eng.act_scales)
+    scales.update({f"w:{t}": np.asarray(s)
+                   for t, s in eng.weight_scales.items()})
+    saved_p = jax.device_get(eng.p)
+
+    eng2 = QuantEngine(fold_variables(variables), CFG, int8_dw=True)
+    eng2.set_scales(scales)
+    eng2.p = jax.tree.map(jnp.asarray, saved_p)
+    got = eng2._forward(x, "quant")
+    for k in ("hm", "whoff"):
+        np.testing.assert_array_equal(
+            np.asarray(want[k], np.float32), np.asarray(got[k], np.float32)
+        )
+
+
+def test_adaround_requires_calibration_and_batches():
+    _, variables = init_model(CFG, rng=jax.random.PRNGKey(0), input_size=64)
+    eng = QuantEngine(fold_variables(variables), CFG)
+    with pytest.raises(ValueError, match="calibrat"):
+        adaround(eng, [np.zeros((1, 64, 64, 3), np.float32)], steps=1)
+    eng.calibrate([np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)])
+    with pytest.raises(ValueError, match="batch"):
+        adaround(eng, [], steps=1)
+
+
+def test_detector_adaround_wiring(tmp_path):
+    from tpucenterface.detector import Detector
+
+    det = Detector(
+        config=DetectorConfig(
+            model=CFG, default_size=64
+        ),
+        rng=jax.random.PRNGKey(0),
+    )
+    rng = np.random.RandomState(3)
+    calib = rng.randint(0, 255, (4, 64, 64, 3), np.uint8)
+    img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    float_ref = det.detect(img, score_thresh=-1.0)
+
+    scales = det.quantize(
+        calib_images=calib, int8_dw=True, adaround_steps=10
+    )
+    rep = det.last_adaround_report
+    assert rep is not None and "_accepted" in rep
+    if rep["_accepted"]:
+        assert any(k.startswith("w:") for k in scales)
+    got = det.detect(img, score_thresh=-1.0)
+    assert np.isfinite(got.scores).all()
+
+    # persistence pair reinstalls to identical detections
+    from tpucenterface.weights.io import (
+        load_quant_scales,
+        load_safetensors,
+        save_quant_scales,
+        save_safetensors,
+    )
+
+    sp, pp = str(tmp_path / "s.json"), str(tmp_path / "ar.safetensors")
+    save_quant_scales(scales, sp)
+    save_safetensors(det.quant_variables, pp)
+    det.dequantize()
+    back = det.detect(img, score_thresh=-1.0)
+    np.testing.assert_allclose(back.scores, float_ref.scores, atol=1e-6)
+
+    det2 = Detector(
+        config=DetectorConfig(
+            model=CFG, default_size=64
+        ),
+        rng=jax.random.PRNGKey(0),
+    )
+    det2.quantize(
+        scales=load_quant_scales(sp),
+        quant_params=load_safetensors(pp)["params"],
+        int8_dw=True,
+    )
+    got2 = det2.detect(img, score_thresh=-1.0)
+    np.testing.assert_allclose(got2.scores, got.scores, atol=1e-6)
+    np.testing.assert_allclose(got2.boxes, got.boxes, atol=1e-4)
+
+    # composition: adaround + qat in one call; qat metrics present and the
+    # real-path loss never worse than its own starting point
+    det3 = Detector(
+        config=DetectorConfig(
+            model=CFG, default_size=64
+        ),
+        rng=jax.random.PRNGKey(1),
+    )
+    det3.quantize(
+        calib_images=calib, int8_dw=True, adaround_steps=8, qat_steps=6
+    )
+    m = det3.last_qat_metrics
+    assert m is not None and m["loss_last"] <= m["loss_first"], m
+    assert np.isfinite(det3.detect(img, score_thresh=-1.0).scores).all()
+
+
+def test_detector_adaround_with_persisted_scales_raises():
+    from tpucenterface.detector import Detector
+
+    det = Detector(
+        config=DetectorConfig(
+            model=CFG, default_size=64
+        ),
+        rng=jax.random.PRNGKey(1),
+    )
+    with pytest.raises(ValueError, match="adaround_steps"):
+        det.quantize(scales={"stem": 1.0}, adaround_steps=5)

@@ -59,6 +59,12 @@ def main(argv=None):
                    "many STE steps of self-distillation on the calibration "
                    "batch; quant.qat) — never worse than PTQ on the "
                    "calibration set by construction")
+    p.add_argument("--adaround-steps", type=int, default=0,
+                   help="with --int8 calibration: learn per-weight rounding "
+                   "by layer-wise reconstruction before QAT (quant.adaround;"
+                   " reverted automatically unless it improves the e2e "
+                   "head-map loss); persists through --save-scales + "
+                   "--save-qat-params")
     p.add_argument("--qat-params", default=None,
                    help="persisted QAT-fine-tuned serving params "
                    "(.safetensors from --save-qat-params); use with --scales")
@@ -71,9 +77,10 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.int8_input and not args.int8:
         p.error("--int8-input requires --int8 (the LUT is the int8 stem's)")
-    if args.qat_steps and args.scales:
-        p.error("--qat-steps needs calibration (omit --scales); reinstall "
-                "persisted QAT output via --scales + --qat-params")
+    if (args.qat_steps or args.adaround_steps) and args.scales:
+        p.error("--qat-steps/--adaround-steps need calibration (omit "
+                "--scales); reinstall persisted output via --scales + "
+                "--qat-params")
     if args.qat_params and not args.scales:
         p.error("--qat-params requires --scales (both halves of the "
                 "persisted QAT output)")
@@ -141,9 +148,14 @@ def main(argv=None):
             ).astype(np.uint8)
             scales = det.quantize(calib_images=calib, int8_dw=args.int8_dw,
                                   calib_percentile=args.calib_percentile,
-                                  qat_steps=args.qat_steps)
+                                  qat_steps=args.qat_steps,
+                                  adaround_steps=args.adaround_steps)
             print(f"[serve] int8 forward calibrated on {len(calib)} images"
                   + (" (int8_dw per-channel)" if args.int8_dw else ""))
+            if args.adaround_steps:
+                r = det.last_adaround_report
+                print(f"[serve] adaround: accepted={bool(r['_accepted'])} "
+                      f"e2e {r['_e2e_first']:.6f}->{r['_e2e_last']:.6f}")
             if args.qat_steps:
                 print(f"[serve] QAT fine-tune: {det.last_qat_metrics}")
             if args.save_scales:

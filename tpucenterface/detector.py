@@ -139,6 +139,7 @@ class Detector:
         self._quant = None  # set by quantize(): opt-in W8A8 serving forward
         self._stem_lut = None  # lazy (256,3) LUT for int8-input staging
         self.last_qat_metrics = None  # quantize(qat_steps=) fine-tune metrics
+        self.last_adaround_report = None  # quantize(adaround_steps=) ratios
         # bumped on every weights/forward swap (reload/quantize/dequantize);
         # external program caches (e.g. ServingEngine's DP wrapper cache)
         # key on it to drop stale compiled programs
@@ -222,6 +223,7 @@ class Detector:
         calib_percentile: Optional[float] = None,
         qat_steps: int = 0,
         qat_lr: float = 1e-4,
+        adaround_steps: int = 0,
         quant_params: Optional[Dict[str, Any]] = None,
     ) -> Dict[str, float]:
         """Switch this Detector to the W8A8 int8 forward (opt-in PTQ).
@@ -246,6 +248,16 @@ class Detector:
         99.9) clip-calibrates each activation scale at that percentile of
         |x| instead of the max — outlier-robust PTQ when rare activation
         spikes would stretch the int8 grid (QuantEngine.calibrate).
+
+        AdaRound: `adaround_steps > 0` learns per-weight up/down rounding
+        by layer-wise reconstruction on the calibration batches (quant.
+        adaround, Nagel et al. 2020) — accepted per layer only when it
+        beats round-to-nearest on the same reconstruction. The learned
+        rounding is stored as on-grid kernels + frozen "w:<tag>" weight
+        scales inside the RETURNED scales dict, so persistence is the
+        usual pair: save the scales AND `self.quant_variables`, reinstall
+        via quantize(scales=..., quant_params=...). Per-layer improvement
+        ratios land in `self.last_adaround_report`.
 
         QAT: `qat_steps > 0` follows calibration with label-free
         quantization-aware fine-tuning (quant.qat.qat_finetune) on the same
@@ -287,14 +299,19 @@ class Detector:
             pp_cfg=self.config.preprocess,
         )
         if quant_params is not None:
-            # persisted QAT-fine-tuned serving params (see quant_variables)
+            # persisted fine-tuned serving params (see quant_variables);
+            # accept either the inner params tree or the {"params": ...}
+            # wrapper quant_variables returns
+            if "params" in quant_params and "backbone" not in quant_params:
+                quant_params = quant_params["params"]
             eng.p = jax.tree.map(jnp.asarray, quant_params)
         if scales is not None:
-            if qat_steps:
+            if qat_steps or adaround_steps:
                 raise ValueError(
-                    "qat_steps needs calibration batches (pass calib_images/"
-                    "calib_batches); with persisted scales, install the "
-                    "persisted QAT params via quant_params= instead"
+                    "qat_steps/adaround_steps need calibration batches (pass "
+                    "calib_images/calib_batches); with persisted scales, "
+                    "install the persisted fine-tuned params via "
+                    "quant_params= instead"
                 )
             eng.set_scales(scales)
             with self._fn_lock:
@@ -323,11 +340,26 @@ class Detector:
                 "pass calib_images (uint8), calib_batches, or scales"
             )
         scales = eng.calibrate(xs, percentile=calib_percentile)
+        float_params = eng.p  # pre-fine-tune float reference (teacher)
+        if adaround_steps:
+            from tpucenterface.quant.adaround import adaround
+
+            self.last_adaround_report = adaround(
+                eng, xs, steps=adaround_steps
+            )
+            # the learned rounding rides the persisted pair: frozen weight
+            # scales inside the scales dict + on-grid kernels in
+            # quant_variables (reinstall via scales= + quant_params=)
+            scales = dict(scales)
+            scales.update(
+                {f"w:{t}": np.asarray(s) for t, s in eng.weight_scales.items()}
+            )
         if qat_steps:
             from tpucenterface.quant.qat import qat_finetune
 
             self.last_qat_metrics = qat_finetune(
-                eng, xs, steps=qat_steps, lr=qat_lr
+                eng, xs, steps=qat_steps, lr=qat_lr,
+                teacher_params=float_params,
             )
         with self._fn_lock:
             self._quant = eng

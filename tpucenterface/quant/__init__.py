@@ -12,7 +12,8 @@ Workflow:
     feats = eng(x)                    # quantized forward
 """
 
+from tpucenterface.quant.adaround import adaround
 from tpucenterface.quant.engine import QuantEngine
 from tpucenterface.quant.qat import qat_finetune
 
-__all__ = ["QuantEngine", "qat_finetune"]
+__all__ = ["QuantEngine", "adaround", "qat_finetune"]

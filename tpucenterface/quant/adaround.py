@@ -1,0 +1,312 @@
+"""AdaRound: adaptive weight rounding for the W8A8 serving forward.
+
+Nearest-rounding (`round()`) is not the MSE-optimal int8 representation of
+a conv's OUTPUT — per-weight up/down rounding choices interact through the
+convolution. AdaRound (Nagel et al. 2020, "Up or Down? Adaptive Rounding
+for Post-Training Quantization") learns the choice per weight by
+layer-wise reconstruction on calibration data, no labels needed:
+
+    W_q = s * clip(floor(W/s) + h(V), -127, 127)
+    h(V) = clip(sigmoid(V) * (zeta - gamma) + gamma, 0, 1),  zeta/gamma = 1.1/-0.1
+
+optimizing per layer (sequential, front to back)
+
+    || act(conv(x_hat, W_q) + b) - y_float ||^2  +  lam * sum(1 - |2h-1|^beta)
+
+where x_hat is the QUANTIZED net's dequantized input to this conv (so
+errors introduced upstream are compensated downstream — the asymmetric
+reconstruction of the paper) and y_float is the ORIGINAL float net's
+post-activation output. The regularizer anneals beta high->low, pushing
+every h to {0,1}; the final mask is h >= 0.5.
+
+Serving representation: instead of carrying masks as extra state, the
+learned rounding is written back as ON-GRID kernels — engine.p[kernel] :=
+s * clip(floor(W/s) + mask) with the per-output-channel scale frozen in
+`engine.weight_scales[tag]` ("w:<tag>" in the persisted scales dict). The
+serving trace's round(k/s) then reconstructs the learned rounding EXACTLY,
+and the existing persistence pair (scales JSON + quant_params safetensors)
+carries AdaRound with zero new deployment surface. The served program is
+byte-identical in structure — only the baked weight constants move.
+
+Composition: run after calibrate(), before qat_finetune (whose bias
+correction and STE stages then start from the adarounded weights; pass the
+pre-adaround params as qat's teacher so distillation still targets the
+true float model — Detector.quantize wires this).
+
+Reference context: the reference family ships no adaptive-rounding PTQ
+(SURVEY.md §2 C14); TPU-native value-add on the int8 serving story.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpucenterface.quant.engine import QuantEngine
+from tpucenterface.quant.qat import _bias_paths
+
+_ZETA, _GAMMA = 1.1, -0.1
+
+
+def _h(v: jnp.ndarray) -> jnp.ndarray:
+    """Rectified sigmoid: smooth [0, 1] rounding variable."""
+    return jnp.clip(jax.nn.sigmoid(v) * (_ZETA - _GAMMA) + _GAMMA, 0.0, 1.0)
+
+
+def _h_init(frac: jnp.ndarray) -> jnp.ndarray:
+    """V such that h(V) == frac (the nearest-rounding fractional part) —
+    optimization starts exactly at round-to-nearest."""
+    p = jnp.clip((frac - _GAMMA) / (_ZETA - _GAMMA), 1e-4, 1 - 1e-4)
+    return jnp.log(p / (1.0 - p))
+
+
+def _kernel_paths(engine: QuantEngine) -> Dict[str, Tuple[str, ...]]:
+    return {
+        tag: path[:-1] + ("kernel",)
+        for tag, path in _bias_paths(engine).items()
+    }
+
+
+def _tree_get(params, path):
+    for k in path:
+        params = params[k]
+    return params
+
+
+def _tree_set(params, path, value):
+    out = dict(params)
+    if len(path) == 1:
+        out[path[0]] = value
+    else:
+        out[path[0]] = _tree_set(params[path[0]], path[1:], value)
+    return out
+
+
+def adaround(
+    engine: QuantEngine,
+    batches: List[Any],
+    steps: int = 250,
+    lr: float = 1e-2,
+    reg_weight: float = 0.01,
+    beta_range: Tuple[float, float] = (20.0, 2.0),
+) -> Dict[str, float]:
+    """Learn per-weight rounding for every quantized conv of the engine.
+
+    batches: normalized NHWC float arrays (the calibration batches).
+    Requires a calibrated engine. Rewrites engine.p kernels on-grid and
+    fills engine.weight_scales; returns {tag: learned/nearest hard-rounding
+    reconstruction-MSE ratio} (<= 1 by the per-layer acceptance guard)
+    plus _e2e_first/_e2e_last (full-set head-map loss vs the float model
+    before/after) and _accepted (0.0 = the e2e guard reverted everything:
+    engine.p and weight_scales untouched).
+    """
+    if engine.act_scales is None:
+        raise ValueError("adaround requires a calibrated engine")
+    if not batches:
+        raise ValueError("adaround needs at least one batch")
+    import optax
+
+    xs = [jnp.asarray(b) for b in batches]
+    kpaths = _kernel_paths(engine)
+    bpaths = _bias_paths(engine)
+    float_p = engine.p  # the original float reference (never mutated)
+    work_p = engine.p  # accumulates on-grid kernels as layers finish
+
+    keys = ["hm", "whoff"] + (["lm"] if engine.cfg.with_landmarks else [])
+
+    # All calibration-data forwards run JITTED with the params as traced
+    # arguments (one compile each, reused across layers) — per-tag eager
+    # forwards are pathologically slow through the remote-TPU tunnel.
+    # Static conv metadata (stride/groups/act) is collected at trace time.
+    meta: Dict[str, Dict[str, Any]] = {}
+
+    def _split_caps(out: Dict[str, Dict[str, Any]]):
+        arrays: Dict[str, Dict[str, Any]] = {}
+        for tag, d in out.items():
+            arrs = {}
+            for k, v in d.items():
+                if isinstance(v, (int, str)):
+                    meta.setdefault(tag, {})[k] = v
+                else:
+                    arrs[k] = v
+            arrays[tag] = arrs
+        return arrays
+
+    @jax.jit
+    def _cap_quant(p, x):
+        # every quantized conv's input (xq, sx) in ONE traced forward
+        engine._cap_tag, engine._cap_out = "*", {}
+        try:
+            engine._forward(x, "quant", params=p)
+            return _split_caps(engine._cap_out)
+        finally:
+            engine._cap_tag, engine._cap_out = None, {}
+
+    # NOTE on jit hygiene: every large array (params, calibration batches,
+    # captured activations) is passed as a traced ARGUMENT, never closed
+    # over — closure constants are serialized into the compiled program,
+    # which the remote-TPU compile relay rejects outright (HTTP 413) once
+    # the captures reach tens of MB.
+    @jax.jit
+    def _cap_float(p, x):
+        # every conv's float post-activation target (float_p never moves,
+        # so these are computed once up front)
+        engine._cap_tag, engine._cap_out = "*", {}
+        try:
+            engine._forward(x, "float", params=p)
+            return _split_caps(engine._cap_out)
+        finally:
+            engine._cap_tag, engine._cap_out = None, {}
+
+    @jax.jit
+    def _float_heads(p, x):
+        out = engine._forward(x, "float", params=p)
+        return {k: out[k].astype(jnp.float32) for k in keys}
+
+    fheads = [_float_heads(float_p, x) for x in xs]
+
+    @jax.jit
+    def _e2e(p, xs_t, fheads_t):
+        # full-set head-map loss of the quant path at params `p` vs the
+        # original float model (same normalized-MSE metric qat_finetune
+        # selects on)
+        tot = jnp.float32(0.0)
+        for x, t in zip(xs_t, fheads_t):
+            q = engine._forward(x, "quant", params=p)
+            for k in keys:
+                d = q[k].astype(jnp.float32) - t[k]
+                tot = tot + jnp.mean(d * d) / (jnp.mean(t[k] * t[k]) + 1e-6)
+        return tot / len(xs_t)
+
+    def _e2e_loss(p) -> float:
+        return float(_e2e(p, tuple(xs), tuple(fheads)))
+
+    e2e_first = _e2e_loss(work_p)
+    caps_f_all = [_cap_float(float_p, x) for x in xs]
+
+    tx = optax.adam(lr)
+
+    @partial(jax.jit, static_argnames=("stride", "groups", "act", "pad"))
+    def _ada_step(v, opt_state, beta, x_hat, y_t, floor, sw, b,
+                  stride, groups, act, pad):
+        def recon(vv):
+            kq = sw * jnp.clip(floor + _h(vv), -127.0, 127.0)
+            y = jax.lax.conv_general_dilated(
+                x_hat, kq, (stride, stride), [(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups,
+                preferred_element_type=jnp.float32,
+            ) + b
+            if act == "relu6":
+                y = jnp.clip(y, 0.0, 6.0)
+            elif act == "relu":
+                y = jnp.maximum(y, 0.0)
+            mse = jnp.mean((y - y_t) ** 2)
+            reg = jnp.mean(1.0 - jnp.abs(2.0 * _h(vv) - 1.0) ** beta)
+            return mse + reg_weight * reg, mse
+
+        (_, mse), grads = jax.value_and_grad(recon, has_aux=True)(v)
+        updates, opt_state = tx.update(grads, opt_state, v)
+        return optax.apply_updates(v, updates), opt_state, mse
+
+    @partial(jax.jit, static_argnames=("stride", "groups", "act", "pad"))
+    def _hard_mse(kk, x_hat, y_t, b, stride, groups, act, pad):
+        y = jax.lax.conv_general_dilated(
+            x_hat, kk.astype(jnp.float32), (stride, stride),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32,
+        ) + b
+        if act == "relu6":
+            y = jnp.clip(y, 0.0, 6.0)
+        elif act == "relu":
+            y = jnp.maximum(y, 0.0)
+        return jnp.mean((y - y_t) ** 2)
+
+    report: Dict[str, float] = {}
+    for tag in kpaths:
+        # replicate _conv's quantize gating: depthwise only under int8_dw
+        if tag.endswith(".dw") and not engine.int8_dw:
+            continue
+        if tag in engine.skip_tags:
+            continue
+        # quantized-net inputs (with layers optimized so far) + float
+        # targets; re-captured per layer because work_p moved (the paper's
+        # sequential/asymmetric reconstruction)
+        caps_q = [_cap_quant(work_p, x) for x in xs]
+        if tag not in caps_q[0] or "xq" not in caps_q[0][tag]:
+            continue  # tag never quantized in this graph
+        stride, groups = meta[tag]["stride"], meta[tag]["groups"]
+        act = meta[tag]["act"]
+        x_hat = jnp.concatenate(
+            [
+                c[tag]["xq"].astype(jnp.float32) * c[tag]["sx"]
+                for c in caps_q
+            ]
+        )
+        y_t = jnp.concatenate([c[tag]["y"] for c in caps_f_all])
+
+        k = jnp.asarray(_tree_get(work_p, kpaths[tag]), jnp.float32)
+        b = jnp.asarray(_tree_get(work_p, bpaths[tag]), jnp.float32)
+        amax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
+        sw = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.float32)
+        kdiv = k / sw
+        floor = jnp.floor(kdiv)
+        v0 = _h_init(kdiv - floor)
+        pad = (k.shape[0] - 1) // 2
+
+        opt_state = tx.init(v0)
+        v = v0
+        for i in range(int(steps)):
+            t = i / max(1, int(steps) - 1)
+            beta = beta_range[0] + (beta_range[1] - beta_range[0]) * t
+            v, opt_state, mse = _ada_step(
+                v, opt_state, jnp.float32(beta), x_hat, y_t, floor, sw, b,
+                stride=stride, groups=groups, act=act, pad=pad,
+            )
+
+        # final hard rounding; accept only if it beats round-to-nearest on
+        # the SAME reconstruction (guards a mis-tuned run on an easy layer)
+        mask = (_h(v) >= 0.5).astype(jnp.float32)
+        k_new = (sw * jnp.clip(floor + mask, -127.0, 127.0)).astype(
+            _tree_get(work_p, kpaths[tag]).dtype
+        )
+
+        k_nearest = sw * jnp.clip(jnp.round(kdiv), -127.0, 127.0)
+        m_new = float(_hard_mse(k_new, x_hat, y_t, b, stride=stride,
+                                groups=groups, act=act, pad=pad))
+        m_near = float(_hard_mse(k_nearest, x_hat, y_t, b, stride=stride,
+                                 groups=groups, act=act, pad=pad))
+        if m_new <= m_near:
+            work_p = _tree_set(work_p, kpaths[tag], k_new)
+            engine.weight_scales[tag] = np.asarray(sw)
+            report[tag] = m_new / max(m_near, 1e-12)
+        else:
+            # keep nearest rounding but still freeze the scale on-grid so
+            # the persisted pair reproduces this decision exactly
+            work_p = _tree_set(
+                work_p, kpaths[tag],
+                k_nearest.astype(_tree_get(work_p, kpaths[tag]).dtype),
+            )
+            engine.weight_scales[tag] = np.asarray(sw)
+            report[tag] = 1.0
+
+    # e2e acceptance: per-layer reconstruction wins don't always compose at
+    # 8 bits (the deviations are near the noise floor) — ship the learned
+    # rounding only if the END-TO-END real-path loss did not regress;
+    # otherwise revert to the untouched nearest-rounding engine.
+    engine.p = work_p
+    e2e_last = _e2e_loss(work_p)
+    accepted = e2e_last <= e2e_first
+    if not accepted:
+        engine.p = float_p
+        engine.weight_scales.clear()
+    report["_e2e_first"] = e2e_first
+    report["_e2e_last"] = e2e_last if accepted else e2e_first
+    report["_accepted"] = float(accepted)
+    return report

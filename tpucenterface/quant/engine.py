@@ -90,10 +90,17 @@ def apply_stem_lut(
     return out
 
 
-def _quantize_weight(k: jnp.ndarray):
-    """Per-output-channel symmetric int8 weight quant; k is HWIO."""
-    amax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
-    sw = jnp.maximum(amax, 1e-8) / 127.0
+def _quantize_weight(k: jnp.ndarray, fixed_scale=None):
+    """Per-output-channel symmetric int8 weight quant; k is HWIO.
+
+    fixed_scale: per-output-channel scale override (quant.adaround installs
+    these: the kernel is then stored as on-grid multiples of the scale, so
+    round() reconstructs the learned rounding exactly)."""
+    if fixed_scale is not None:
+        sw = jnp.asarray(fixed_scale, jnp.float32)
+    else:
+        amax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
+        sw = jnp.maximum(amax, 1e-8) / 127.0
     kq = jnp.clip(jnp.round(k / sw), -127, 127).astype(jnp.int8)
     return kq, sw.astype(jnp.float32)
 
@@ -119,14 +126,18 @@ def fake_quant(x: jnp.ndarray, s) -> jnp.ndarray:
     )
 
 
-def fake_quant_weight(k: jnp.ndarray) -> jnp.ndarray:
+def fake_quant_weight(k: jnp.ndarray, fixed_scale=None) -> jnp.ndarray:
     """STE fake-quant of an HWIO kernel with the SAME per-output-channel
     scale rule `_quantize_weight` applies at serving trace time — what QAT
     optimizes is bit-aligned with what serves. The scale is recomputed from
-    the live weights every step (stop-gradient on the scale itself)."""
+    the live weights every step (stop-gradient on the scale itself), unless
+    a fixed per-tag scale is installed (adaround)."""
     k32 = k.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(k32), axis=(0, 1, 2))
-    sw = jnp.maximum(amax, 1e-8) / 127.0
+    if fixed_scale is not None:
+        sw = jnp.asarray(fixed_scale, jnp.float32)
+    else:
+        amax = jnp.max(jnp.abs(k32), axis=(0, 1, 2))
+        sw = jnp.maximum(amax, 1e-8) / 127.0
     return fake_quant(k32, sw)
 
 
@@ -170,6 +181,11 @@ class QuantEngine:
             self.p["heads"] = {"fused": heads}
         self.plan = backbone_plan(cfg)
         self.act_scales: Optional[Dict[str, float]] = None
+        # per-tag per-output-channel weight-scale overrides (quant.adaround:
+        # the matching engine.p kernels are rewritten as on-grid multiples,
+        # so trace-time round() reconstructs the learned rounding exactly);
+        # persisted inside the scales dict under "w:<tag>" keys
+        self.weight_scales: Dict[str, Any] = {}
         self._amax: Dict[str, float] = {}
         self._calib_percentile: Optional[float] = None
         # required for stem_preprocess models (fixed stem input scale);
@@ -270,7 +286,7 @@ class QuantEngine:
             # epilogue fake-quant at this same scale (round/clip of values
             # already on the grid is the identity)
             xq = fake_quant(x, sx)
-            kq = fake_quant_weight(k)
+            kq = fake_quant_weight(k, self.weight_scales.get(tag))
             y = jax.lax.conv_general_dilated(
                 xq,
                 kq,
@@ -308,9 +324,24 @@ class QuantEngine:
                 xq = jnp.clip(
                     jnp.round(x.astype(jnp.float32) / sx), -127, 127
                 ).astype(jnp.int8)
+            cap = getattr(self, "_cap_tag", None)
+            if cap == tag or cap == "*":
+                # adaround capture: this conv's quantized-net input + meta.
+                # "*" captures every quantized conv in ONE traced forward
+                # (per-tag sub-dicts) so quant.adaround can run the whole
+                # collection under a single jit — per-tag eager forwards are
+                # pathologically slow through the remote-TPU tunnel
+                dst = (
+                    self._cap_out.setdefault(tag, {})
+                    if cap == "*"
+                    else self._cap_out
+                )
+                dst.update(
+                    xq=xq, sx=sx, stride=stride, groups=groups, act=act
+                )
             # weights are trace constants: XLA folds this quantization at
             # compile time (do NOT cache — caching traced values leaks tracers)
-            kq, sw = _quantize_weight(k)
+            kq, sw = _quantize_weight(k, self.weight_scales.get(tag))
             y = jax.lax.conv_general_dilated(
                 xq,
                 kq,
@@ -346,6 +377,16 @@ class QuantEngine:
             y = jnp.minimum(jnp.maximum(y, 0.0), 6.0)
         elif act == "relu":
             y = jnp.maximum(y, 0.0)
+        if mode == "float":
+            cap = getattr(self, "_cap_tag", None)
+            if cap == tag or cap == "*":
+                # adaround capture: the float net's post-activation target
+                dst = (
+                    self._cap_out.setdefault(tag, {})
+                    if cap == "*"
+                    else self._cap_out
+                )
+                dst["y"] = y.astype(jnp.float32)
         if mode == "quant" and out_int8_tag is not None:
             s_next = self._act_scale(out_int8_tag)
             return jnp.clip(
@@ -479,11 +520,16 @@ class QuantEngine:
 
         Accepts the exact dict `calibrate`/`Detector.quantize` returned —
         floats for per-tensor entries, arrays/lists for the per-channel
-        depthwise entries under int8_dw. Deployment contract: calibrate
-        once, persist (weights.io.save_quant_scales), install everywhere.
+        depthwise entries under int8_dw; "w:<tag>" entries are adaround's
+        fixed per-output-channel weight scales (installed alongside the
+        matching quant_params). Deployment contract: calibrate once,
+        persist (weights.io.save_quant_scales), install everywhere.
         """
         out: Dict[str, Any] = {}
         for k, v in scales.items():
+            if k.startswith("w:"):
+                self.weight_scales[k[2:]] = np.asarray(v, np.float32)
+                continue
             arr = np.asarray(v, np.float64)
             out[k] = arr if arr.ndim else max(float(arr), 1e-6)
         self.act_scales = out

@@ -100,6 +100,7 @@ def qat_finetune(
     lr: float = 1e-4,
     eval_every: int = 5,
     bc_passes: int = 2,
+    teacher_params: Any = None,
 ) -> Dict[str, float]:
     """Bias-correct, then (optionally) STE-fine-tune `engine.p` so the REAL
     int8 forward matches the (frozen) float forward on `batches`.
@@ -146,9 +147,13 @@ def qat_finetune(
     xs = [jnp.asarray(b) for b in batches]
     orig = engine.p
 
+    # teacher_params: the float reference to distill toward — defaults to
+    # engine.p; pass the PRE-adaround params when composing with adaround
+    # (which rewrites engine.p on-grid), so distillation still targets the
+    # true float model (Detector.quantize wires this).
     @jax.jit
     def teacher(x):
-        out = engine._forward(x, "float")
+        out = engine._forward(x, "float", params=teacher_params)
         return {
             k: jax.lax.stop_gradient(out[k].astype(jnp.float32)) for k in keys
         }
@@ -193,7 +198,7 @@ def qat_finetune(
 
     @jax.jit
     def means_float():
-        return _collect_means("float", None)
+        return _collect_means("float", teacher_params)
 
     @jax.jit
     def means_quant(params):
