@@ -178,3 +178,35 @@ def test_detector_adaround_with_persisted_scales_raises():
     )
     with pytest.raises(ValueError, match="adaround_steps"):
         det.quantize(scales={"stem": 1.0}, adaround_steps=5)
+
+
+def test_reexported_scales_keep_adaround_weight_scales(tmp_path):
+    """quantize(scales=...)'s return value must carry the "w:<tag>" entries
+    through (cli.serve --scales X --save-scales Y round-trips the installed
+    dict via this return; dropping them would silently un-adaround the
+    next install — regression)."""
+    from tpucenterface.detector import Detector
+
+    det = Detector(
+        config=DetectorConfig(model=CFG, default_size=64),
+        rng=jax.random.PRNGKey(0),
+    )
+    rng = np.random.RandomState(7)
+    calib = rng.randint(0, 255, (4, 64, 64, 3), np.uint8)
+    scales = det.quantize(calib_images=calib, adaround_steps=10)
+    if not det.last_adaround_report["_accepted"]:
+        pytest.skip("e2e guard reverted on this seed — nothing to persist")
+    wkeys = {k for k in scales if k.startswith("w:")}
+    assert wkeys
+    qp = det.quant_variables  # accepted wrapper form (detector unwraps)
+
+    det2 = Detector(
+        config=DetectorConfig(model=CFG, default_size=64),
+        rng=jax.random.PRNGKey(0),
+    )
+    reexported = det2.quantize(scales=scales, quant_params=qp)
+    assert {k for k in reexported if k.startswith("w:")} == wkeys
+    for k in wkeys:
+        np.testing.assert_allclose(
+            np.asarray(reexported[k]), np.asarray(scales[k])
+        )

@@ -676,3 +676,44 @@ def test_dp_int8_input_serving_matches_single_device(det):
                 np.testing.assert_array_equal(rd.scores, gd.scores)
     finally:
         det.dequantize()
+
+
+def test_dp_cache_keeps_current_version_rungs(det):
+    """Eviction must key on the VERSION component of the cache key, not
+    int8_in (regression: k[2] vs k[3]): warming a second ladder rung at the
+    same weights_version must not evict the first rung's wrapper."""
+    import jax
+
+    from tpucenterface.model.centernet import init_model
+    from tpucenterface.runtime.sharding import data_mesh
+
+    mesh = data_mesh()
+    _, raw = init_model(det._init_config.model, rng=jax.random.PRNGKey(52))
+    det.reload_weights(variables=raw)  # ver >= 1 so ver != int8_in's 0/1
+    # device_batch=16 over 8 fake devices -> ladder (8, 16)
+    with ServingEngine(
+        det, HW, device_batch=16, score_thresh=-1.0, mesh=mesh
+    ) as eng:
+        assert eng.batch_ladder == (8, 16)
+        eng.submit(np.zeros((16, *HW, 3), np.uint8)).result(timeout=180)
+        eng.submit(np.zeros((1, *HW, 3), np.uint8)).result(timeout=180)
+        rungs = {k[0] for k in eng._dp_cache}
+        versions = {k[3] for k in eng._dp_cache}
+    assert rungs == {8, 16}, rungs
+    assert versions == {det.weights_version}, versions
+
+
+def test_int8_input_requires_stem_bake_at_construction():
+    """A model without the stem-baked preprocess can never produce the
+    int8-input LUT — the engine must refuse at construction, not per
+    request inside the worker."""
+    from tpucenterface.config import PreprocessConfig
+
+    cfg = DetectorConfig(
+        model=ModelConfig(compute_dtype="float32"),
+        preprocess=PreprocessConfig(stem_bake=False),
+        default_size=64,
+    )
+    d = Detector(config=cfg, rng=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="stem"):
+        ServingEngine(d, HW, device_batch=8, int8_input=True)

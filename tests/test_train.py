@@ -377,3 +377,26 @@ def test_ema_checkpoint_roundtrip(tiny_dataset, tmp_path):
         jax.tree_util.tree_leaves(restored.ema_params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_completed_run_does_not_resave(tiny_dataset, tmp_path):
+    """Resuming a run whose checkpoint already sits at total_steps must exit
+    cleanly (export only) — orbax refuses to overwrite the existing ckpt
+    directory, so a blind final save would crash (regression)."""
+    from tpucenterface.train.loop import train
+
+    mcfg = ModelConfig(compute_dtype="float32")
+    tcfg = TrainConfig(input_size=64, batch_size=8, max_objs=8, lr=1e-3)
+    wd = str(tmp_path / "run")
+    state = train(
+        tiny_dataset, model_cfg=mcfg, train_cfg=tcfg, workdir=wd,
+        max_steps=2, ckpt_every=2,
+    )
+    assert int(state.step) == 2
+    # second invocation restores step 2, runs zero steps, must not raise
+    state2 = train(
+        tiny_dataset, model_cfg=mcfg, train_cfg=tcfg, workdir=wd,
+        max_steps=2, ckpt_every=2, resume=True,
+    )
+    assert int(state2.step) == 2
+    assert os.path.exists(os.path.join(wd, "model.safetensors"))

@@ -266,8 +266,13 @@ def config5_dp(det, batch=256) -> dict:
     fn = shard_batch_fn(lambda im, hw: inner(im, hw), mesh, num_batch_args=2)
     dimgs = put_sharded(jnp.asarray(imgs), mesh)
     dhws = put_sharded(jnp.asarray(hws), mesh)
-    # same launch count as the int8 variant below: run-constant dispatch
-    # costs must amortize EQUALLY or the bf16-vs-int8 delta is an artifact
+    # same launch count as the int8 variant below so run-constant dispatch
+    # costs amortize equally. NOTE the two variants are still DIFFERENT
+    # programs by design (bf16 = the contract-literal config: letterbox
+    # preprocess, eval K=200, global bs; int8 = the serving deployment:
+    # identity preprocess, K=100, bs128/chip) — int8_per_chip is "what the
+    # int8 serving path delivers", not an isolated quantization A/B (the
+    # controlled A/B lives in bench.py's serving fields).
     n = 100
     ips = _fifo_ips(fn, dimgs, dhws, b, n)
 
@@ -304,7 +309,11 @@ def config5_dp(det, batch=256) -> dict:
             "unit": "img/s", "per_chip": round(ips / nd, 1),
             "int8_img_s": round(ips_q, 1) if ips_q is not None else None,
             "int8_batch": bq,
-            "int8_per_chip": round(ips_q / nd, 1) if ips_q is not None else None}
+            "int8_per_chip": round(ips_q / nd, 1) if ips_q is not None else None,
+            "int8_note": "serving-profile program (identity preprocess, "
+                         "K=100, bs128/chip) vs the contract-literal bf16 "
+                         "config — a deployment comparison, not an isolated "
+                         "quantization A/B"}
 
 
 def main(argv=None):

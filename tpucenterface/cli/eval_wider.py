@@ -32,6 +32,10 @@ def main(argv=None):
     p.add_argument("--int8-dw", action="store_true",
                    help="with --int8: per-channel int8 depthwise (the "
                    "measured-fastest serving forward)")
+    p.add_argument("--weight-bits", type=int, default=8,
+                   help="with --int8: weight grid width (8 = W8A8; 4 = "
+                   "W4A8 accuracy study — pair with adaround/QAT; "
+                   "Detector.quantize docstring)")
     p.add_argument("--quant-scales", default=None,
                    help="persisted activation-scale JSON "
                    "(weights.io.save_quant_scales) instead of calibrating")
@@ -64,6 +68,7 @@ def main(argv=None):
             det.quantize(
                 scales=load_quant_scales(args.quant_scales),
                 int8_dw=args.int8_dw,
+                weight_bits=args.weight_bits,
             )
             print("[eval] int8 forward with persisted scales")
         else:
@@ -93,6 +98,7 @@ def main(argv=None):
             det.quantize(
                 calib_images=np.stack(calib).astype(np.uint8),
                 int8_dw=args.int8_dw,
+                weight_bits=args.weight_bits,
             )
             print(f"[eval] int8 forward calibrated on {len(calib)} eval images")
 

@@ -65,6 +65,11 @@ def main(argv=None):
                    " reverted automatically unless it improves the e2e "
                    "head-map loss); persists through --save-scales + "
                    "--save-qat-params")
+    p.add_argument("--weight-bits", type=int, default=8,
+                   help="with --int8: weight grid width (8 = W8A8 speed "
+                   "path; 4 = W4A8 — accuracy/packed-size option, pair "
+                   "with --adaround-steps/--qat-steps; persisted scales "
+                   "are self-describing)")
     p.add_argument("--qat-params", default=None,
                    help="persisted QAT-fine-tuned serving params "
                    "(.safetensors from --save-qat-params); use with --scales")
@@ -149,7 +154,8 @@ def main(argv=None):
             scales = det.quantize(calib_images=calib, int8_dw=args.int8_dw,
                                   calib_percentile=args.calib_percentile,
                                   qat_steps=args.qat_steps,
-                                  adaround_steps=args.adaround_steps)
+                                  adaround_steps=args.adaround_steps,
+                                  weight_bits=args.weight_bits)
             print(f"[serve] int8 forward calibrated on {len(calib)} images"
                   + (" (int8_dw per-channel)" if args.int8_dw else ""))
             if args.adaround_steps:

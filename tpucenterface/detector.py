@@ -225,8 +225,19 @@ class Detector:
         qat_lr: float = 1e-4,
         adaround_steps: int = 0,
         quant_params: Optional[Dict[str, Any]] = None,
+        weight_bits: int = 8,
     ) -> Dict[str, float]:
         """Switch this Detector to the W8A8 int8 forward (opt-in PTQ).
+
+        weight_bits: weight grid width — 8 (default, the TPU-speed W8A8
+        path) down to 2. Sub-8-bit weights still ride int8 device arrays
+        (the MXU's narrowest operand is int8), so W4A8 is an accuracy /
+        packed-export-size option, not a speed lever; pair it with
+        adaround_steps/qat_steps — at W4 nearest rounding alone degrades
+        sharply and AdaRound's learned rounding is decisive (quant/
+        adaround.py). The returned scales dict is self-describing
+        ("cfg:weight_bits"); reinstalling persisted scales re-applies the
+        recorded width automatically.
 
         Measured on v5e @640 (PERFORMANCE.md): the int8 forward LOSES at
         bs32 (the unfused q/dq chains add HBM passes to an occupancy-bound
@@ -292,11 +303,15 @@ class Detector:
                 "quantize() requires head_conv > 0 (the int8 engine runs "
                 "the fused-head form, which needs the hidden head conv)"
             )
+        if scales is not None and "cfg:weight_bits" in scales:
+            # persisted dicts are self-describing — the recorded width wins
+            weight_bits = int(scales["cfg:weight_bits"])
         eng = QuantEngine(
             self.variables,
             self.config.model,
             int8_dw=int8_dw,
             pp_cfg=self.config.preprocess,
+            weight_bits=weight_bits,
         )
         if quant_params is not None:
             # persisted fine-tuned serving params (see quant_variables);
@@ -318,7 +333,17 @@ class Detector:
                 self._quant = eng
                 self.weights_version += 1
                 self._fn_cache.clear()
-            return eng.act_scales
+            # return the FULL installable dict: act_scales plus any "w:<tag>"
+            # adaround weight scales set_scales routed into weight_scales —
+            # re-exporting installed scales must not drop the learned-rounding
+            # reconstruction (persistence round-trip contract)
+            out = dict(eng.act_scales)
+            out.update(
+                {f"w:{t}": np.asarray(s) for t, s in eng.weight_scales.items()}
+            )
+            if eng.weight_bits != 8:
+                out["cfg:weight_bits"] = eng.weight_bits
+            return out
         if calib_batches is not None:
             xs = [jnp.asarray(b) for b in calib_batches]
         elif calib_images is not None:
@@ -365,6 +390,9 @@ class Detector:
             self._quant = eng
             self.weights_version += 1
             self._fn_cache.clear()  # programs rebuild on the int8 forward
+        if eng.weight_bits != 8:
+            scales = dict(scales)
+            scales["cfg:weight_bits"] = eng.weight_bits
         return scales
 
     def reload_weights(

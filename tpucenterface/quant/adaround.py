@@ -6,7 +6,7 @@ convolution. AdaRound (Nagel et al. 2020, "Up or Down? Adaptive Rounding
 for Post-Training Quantization") learns the choice per weight by
 layer-wise reconstruction on calibration data, no labels needed:
 
-    W_q = s * clip(floor(W/s) + h(V), -127, 127)
+    W_q = s * clip(floor(W/s) + h(V), -qmax, qmax)   (qmax: 127 at W8, 7 at W4)
     h(V) = clip(sigmoid(V) * (zeta - gamma) + gamma, 0, 1),  zeta/gamma = 1.1/-0.1
 
 optimizing per layer (sequential, front to back)
@@ -47,7 +47,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpucenterface.quant.engine import QuantEngine
-from tpucenterface.quant.qat import _bias_paths
+from tpucenterface.quant.qat import (
+    _bias_paths,
+    _tree_get,
+    _tree_set,
+    head_map_loss,
+)
 
 _ZETA, _GAMMA = 1.1, -0.1
 
@@ -69,21 +74,6 @@ def _kernel_paths(engine: QuantEngine) -> Dict[str, Tuple[str, ...]]:
         tag: path[:-1] + ("kernel",)
         for tag, path in _bias_paths(engine).items()
     }
-
-
-def _tree_get(params, path):
-    for k in path:
-        params = params[k]
-    return params
-
-
-def _tree_set(params, path, value):
-    out = dict(params)
-    if len(path) == 1:
-        out[path[0]] = value
-    else:
-        out[path[0]] = _tree_set(params[path[0]], path[1:], value)
-    return out
 
 
 def adaround(
@@ -109,6 +99,11 @@ def adaround(
     if not batches:
         raise ValueError("adaround needs at least one batch")
     import optax
+
+    # the engine's weight grid (127 for W8, 7 for W4): AdaRound's headroom
+    # over nearest rounding grows as the grid coarsens — at W8 wins sit
+    # near the noise floor (paper + measured), at W4 they are decisive
+    qmax = float(engine.wqmax)
 
     xs = [jnp.asarray(b) for b in batches]
     kpaths = _kernel_paths(engine)
@@ -136,14 +131,33 @@ def adaround(
             arrays[tag] = arrs
         return arrays
 
+    # The per-tag weight scales are a traced ARGUMENT (`w`, installed as
+    # engine.weight_scales inside the trace): once a layer is written back
+    # on-grid its kernel's amax-derived scale can be finer than the frozen
+    # scale (max on-grid multiple < 127), so a cached trace that baked in
+    # scale=None would re-round at a DIFFERENT scale than the serving
+    # program. Pending layers start at their amax-derived scale —
+    # bit-identical to what _quantize_weight derives from the float kernel.
+    ws: Dict[str, jnp.ndarray] = {}
+    for _tag, _kp in kpaths.items():
+        if _tag.endswith(".dw") and not engine.int8_dw:
+            continue
+        if _tag in engine.skip_tags:
+            continue
+        _kk = jnp.asarray(_tree_get(work_p, _kp), jnp.float32)
+        _amax0 = jnp.max(jnp.abs(_kk), axis=(0, 1, 2))
+        ws[_tag] = (jnp.maximum(_amax0, 1e-8) / qmax).astype(jnp.float32)
+
     @jax.jit
-    def _cap_quant(p, x):
+    def _cap_quant(p, w, x):
         # every quantized conv's input (xq, sx) in ONE traced forward
         engine._cap_tag, engine._cap_out = "*", {}
+        saved, engine.weight_scales = engine.weight_scales, w
         try:
             engine._forward(x, "quant", params=p)
             return _split_caps(engine._cap_out)
         finally:
+            engine.weight_scales = saved
             engine._cap_tag, engine._cap_out = None, {}
 
     # NOTE on jit hygiene: every large array (params, calibration batches,
@@ -170,20 +184,22 @@ def adaround(
     fheads = [_float_heads(float_p, x) for x in xs]
 
     @jax.jit
-    def _e2e(p, xs_t, fheads_t):
+    def _e2e(p, w, xs_t, fheads_t):
         # full-set head-map loss of the quant path at params `p` vs the
         # original float model (same normalized-MSE metric qat_finetune
         # selects on)
-        tot = jnp.float32(0.0)
-        for x, t in zip(xs_t, fheads_t):
-            q = engine._forward(x, "quant", params=p)
-            for k in keys:
-                d = q[k].astype(jnp.float32) - t[k]
-                tot = tot + jnp.mean(d * d) / (jnp.mean(t[k] * t[k]) + 1e-6)
-        return tot / len(xs_t)
+        saved, engine.weight_scales = engine.weight_scales, w
+        try:
+            tot = jnp.float32(0.0)
+            for x, t in zip(xs_t, fheads_t):
+                q = engine._forward(x, "quant", params=p)
+                tot = tot + head_map_loss(q, t, keys)
+            return tot / len(xs_t)
+        finally:
+            engine.weight_scales = saved
 
     def _e2e_loss(p) -> float:
-        return float(_e2e(p, tuple(xs), tuple(fheads)))
+        return float(_e2e(p, ws, tuple(xs), tuple(fheads)))
 
     e2e_first = _e2e_loss(work_p)
     caps_f_all = [_cap_float(float_p, x) for x in xs]
@@ -194,7 +210,7 @@ def adaround(
     def _ada_step(v, opt_state, beta, x_hat, y_t, floor, sw, b,
                   stride, groups, act, pad):
         def recon(vv):
-            kq = sw * jnp.clip(floor + _h(vv), -127.0, 127.0)
+            kq = sw * jnp.clip(floor + _h(vv), -qmax, qmax)
             y = jax.lax.conv_general_dilated(
                 x_hat, kq, (stride, stride), [(pad, pad), (pad, pad)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -238,7 +254,7 @@ def adaround(
         # quantized-net inputs (with layers optimized so far) + float
         # targets; re-captured per layer because work_p moved (the paper's
         # sequential/asymmetric reconstruction)
-        caps_q = [_cap_quant(work_p, x) for x in xs]
+        caps_q = [_cap_quant(work_p, ws, x) for x in xs]
         if tag not in caps_q[0] or "xq" not in caps_q[0][tag]:
             continue  # tag never quantized in this graph
         stride, groups = meta[tag]["stride"], meta[tag]["groups"]
@@ -254,7 +270,7 @@ def adaround(
         k = jnp.asarray(_tree_get(work_p, kpaths[tag]), jnp.float32)
         b = jnp.asarray(_tree_get(work_p, bpaths[tag]), jnp.float32)
         amax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
-        sw = (jnp.maximum(amax, 1e-8) / 127.0).astype(jnp.float32)
+        sw = (jnp.maximum(amax, 1e-8) / qmax).astype(jnp.float32)
         kdiv = k / sw
         floor = jnp.floor(kdiv)
         v0 = _h_init(kdiv - floor)
@@ -273,18 +289,17 @@ def adaround(
         # final hard rounding; accept only if it beats round-to-nearest on
         # the SAME reconstruction (guards a mis-tuned run on an easy layer)
         mask = (_h(v) >= 0.5).astype(jnp.float32)
-        k_new = (sw * jnp.clip(floor + mask, -127.0, 127.0)).astype(
+        k_new = (sw * jnp.clip(floor + mask, -qmax, qmax)).astype(
             _tree_get(work_p, kpaths[tag]).dtype
         )
 
-        k_nearest = sw * jnp.clip(jnp.round(kdiv), -127.0, 127.0)
+        k_nearest = sw * jnp.clip(jnp.round(kdiv), -qmax, qmax)
         m_new = float(_hard_mse(k_new, x_hat, y_t, b, stride=stride,
                                 groups=groups, act=act, pad=pad))
         m_near = float(_hard_mse(k_nearest, x_hat, y_t, b, stride=stride,
                                  groups=groups, act=act, pad=pad))
         if m_new <= m_near:
             work_p = _tree_set(work_p, kpaths[tag], k_new)
-            engine.weight_scales[tag] = np.asarray(sw)
             report[tag] = m_new / max(m_near, 1e-12)
         else:
             # keep nearest rounding but still freeze the scale on-grid so
@@ -293,8 +308,11 @@ def adaround(
                 work_p, kpaths[tag],
                 k_nearest.astype(_tree_get(work_p, kpaths[tag]).dtype),
             )
-            engine.weight_scales[tag] = np.asarray(sw)
             report[tag] = 1.0
+        # freeze the scale for all LATER captures/e2e (the on-grid kernel's
+        # amax-derived scale may be finer) and for the serving trace
+        engine.weight_scales[tag] = np.asarray(sw)
+        ws[tag] = jnp.asarray(sw)
 
     # e2e acceptance: per-layer reconstruction wins don't always compose at
     # 8 bits (the deviations are near the noise floor) — ship the learned

@@ -32,6 +32,15 @@ from tpucenterface.config import ModelConfig
 from tpucenterface.model.backbone import backbone_plan
 
 
+def stem_fixed_scale(pp_cfg) -> float:
+    """Fixed int8 scale of the stem's `pixel - 255*mean` input:
+    max(255*mean, 255*(1-mean))/127. SINGLE definition — the in-program
+    stem quantization and the host-side LUT staging must agree bit-exactly
+    (the int8-input path's correctness rests on it)."""
+    mean = np.asarray(pp_cfg.mean, np.float64) * 255.0
+    return float(np.max(np.maximum(mean, 255.0 - mean))) / 127.0
+
+
 def stem_input_lut(pp_cfg) -> np.ndarray:
     """(256, 3) int8 LUT: raw uint8 pixel -> the stem conv's int8 input.
 
@@ -55,8 +64,7 @@ def stem_input_lut(pp_cfg) -> np.ndarray:
 
     from tpucenterface.preprocess import normalize_images
 
-    mean = np.asarray(pp_cfg.mean, np.float64) * 255.0
-    sx = np.float32(float(np.max(np.maximum(mean, 255.0 - mean))) / 127.0)
+    sx = np.float32(stem_fixed_scale(pp_cfg))
     ramp = np.tile(
         np.arange(256, dtype=np.uint8)[None, :, None, None], (1, 1, 1, 3)
     )
@@ -90,34 +98,39 @@ def apply_stem_lut(
     return out
 
 
-def _quantize_weight(k: jnp.ndarray, fixed_scale=None):
-    """Per-output-channel symmetric int8 weight quant; k is HWIO.
+def _quantize_weight(k: jnp.ndarray, fixed_scale=None, qmax: int = 127):
+    """Per-output-channel symmetric low-bit weight quant; k is HWIO.
 
-    fixed_scale: per-output-channel scale override (quant.adaround installs
-    these: the kernel is then stored as on-grid multiples of the scale, so
-    round() reconstructs the learned rounding exactly)."""
+    qmax: largest grid index — 127 for int8 weights, 7 for int4 (the
+    values still ride int8 device arrays; sub-8-bit grids trade accuracy
+    for a 2x-per-bit smaller packed export, not TPU speed — the MXU's
+    narrowest operand is int8). fixed_scale: per-output-channel scale
+    override (quant.adaround installs these: the kernel is then stored as
+    on-grid multiples of the scale, so round() reconstructs the learned
+    rounding exactly)."""
     if fixed_scale is not None:
         sw = jnp.asarray(fixed_scale, jnp.float32)
     else:
         amax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
-        sw = jnp.maximum(amax, 1e-8) / 127.0
-    kq = jnp.clip(jnp.round(k / sw), -127, 127).astype(jnp.int8)
+        sw = jnp.maximum(amax, 1e-8) / qmax
+    kq = jnp.clip(jnp.round(k / sw), -qmax, qmax).astype(jnp.int8)
     return kq, sw.astype(jnp.float32)
 
 
-def fake_quant(x: jnp.ndarray, s) -> jnp.ndarray:
-    """Differentiable int8 quantize-dequantize (straight-through estimator).
+def fake_quant(x: jnp.ndarray, s, qmax: int = 127) -> jnp.ndarray:
+    """Differentiable quantize-dequantize (straight-through estimator).
 
-    Forward: clip(round(x/s), -127, 127) * s — the exact value the int8
+    Forward: clip(round(x/s), -qmax, qmax) * s — the exact value the int8
     path's (quantize, epilogue-rescale) pair reconstructs. Backward: the
     round is transparent (grad 1) inside the representable range and 0
     where the clip saturates (the standard STE with clip-masking); the
     scale `s` is treated as a constant (stop-gradient), matching PTQ's
     frozen calibrated activation scales."""
     s = jax.lax.stop_gradient(jnp.asarray(s, jnp.float32))
+    qmax = float(qmax)
     q = x.astype(jnp.float32) / s
-    y = jnp.clip(jnp.round(q), -127.0, 127.0) * s
-    in_range = (q >= -127.0) & (q <= 127.0)
+    y = jnp.clip(jnp.round(q), -qmax, qmax) * s
+    in_range = (q >= -qmax) & (q <= qmax)
     x32 = x.astype(jnp.float32)
     return jnp.where(
         in_range,
@@ -126,7 +139,9 @@ def fake_quant(x: jnp.ndarray, s) -> jnp.ndarray:
     )
 
 
-def fake_quant_weight(k: jnp.ndarray, fixed_scale=None) -> jnp.ndarray:
+def fake_quant_weight(
+    k: jnp.ndarray, fixed_scale=None, qmax: int = 127
+) -> jnp.ndarray:
     """STE fake-quant of an HWIO kernel with the SAME per-output-channel
     scale rule `_quantize_weight` applies at serving trace time — what QAT
     optimizes is bit-aligned with what serves. The scale is recomputed from
@@ -137,8 +152,8 @@ def fake_quant_weight(k: jnp.ndarray, fixed_scale=None) -> jnp.ndarray:
         sw = jnp.asarray(fixed_scale, jnp.float32)
     else:
         amax = jnp.max(jnp.abs(k32), axis=(0, 1, 2))
-        sw = jnp.maximum(amax, 1e-8) / 127.0
-    return fake_quant(k32, sw)
+        sw = jnp.maximum(amax, 1e-8) / qmax
+    return fake_quant(k32, sw, qmax)
 
 
 class QuantEngine:
@@ -149,6 +164,7 @@ class QuantEngine:
         int8_dw: bool = False,
         pp_cfg=None,
         skip_tags=(),
+        weight_bits: int = 8,
     ):
         """int8_dw: also quantize the depthwise convs (int8 x int8 -> int32
         on the VPU) and chain expand->dw->project in int8 — halves the
@@ -160,6 +176,15 @@ class QuantEngine:
         variant (8-12% head-map error -> ~1-2%)."""
         self.cfg = cfg
         self.int8_dw = int8_dw
+        # weight grid width: 8 -> W8A8 (the TPU-speed path), 4 -> W4A8
+        # (weights on the 15-value grid inside int8 arrays; accuracy/export-
+        # size study — no MXU speed change, its narrowest operand is int8).
+        # Activations are ALWAYS A8. Persisted scales carry the bits under
+        # "cfg:weight_bits"; set_scales refuses a mismatched install.
+        if not 2 <= int(weight_bits) <= 8:
+            raise ValueError(f"weight_bits must be in [2, 8]: {weight_bits}")
+        self.weight_bits = int(weight_bits)
+        self.wqmax = 2 ** (self.weight_bits - 1) - 1
         # convs (by tag) kept bf16 inside an otherwise-int8 forward: the
         # early 320^2 layers are emitter-bound, not MXU-rate-bound, so int8
         # buys them nothing while costing quantization error (see the
@@ -201,9 +226,7 @@ class QuantEngine:
                 "QuantEngine(pp_cfg=...) — a wrong guess would silently "
                 "saturate bright pixels"
             )
-        mean = np.asarray(self.pp_cfg.mean, np.float64) * 255.0
-        amax = float(np.max(np.maximum(mean, 255.0 - mean)))
-        return amax / 127.0
+        return stem_fixed_scale(self.pp_cfg)
 
     # ------------------------------------------------------------------ #
 
@@ -286,7 +309,7 @@ class QuantEngine:
             # epilogue fake-quant at this same scale (round/clip of values
             # already on the grid is the identity)
             xq = fake_quant(x, sx)
-            kq = fake_quant_weight(k, self.weight_scales.get(tag))
+            kq = fake_quant_weight(k, self.weight_scales.get(tag), self.wqmax)
             y = jax.lax.conv_general_dilated(
                 xq,
                 kq,
@@ -341,7 +364,7 @@ class QuantEngine:
                 )
             # weights are trace constants: XLA folds this quantization at
             # compile time (do NOT cache — caching traced values leaks tracers)
-            kq, sw = _quantize_weight(k, self.weight_scales.get(tag))
+            kq, sw = _quantize_weight(k, self.weight_scales.get(tag), self.wqmax)
             y = jax.lax.conv_general_dilated(
                 xq,
                 kq,
@@ -527,6 +550,17 @@ class QuantEngine:
         """
         out: Dict[str, Any] = {}
         for k, v in scales.items():
+            if k == "cfg:weight_bits":
+                # self-describing persisted dict: a W4 calibration installed
+                # into a W8 engine (or vice versa) silently re-rounds every
+                # kernel on the wrong grid — refuse loudly instead
+                if int(v) != self.weight_bits:
+                    raise ValueError(
+                        f"persisted scales were calibrated at weight_bits="
+                        f"{int(v)} but this engine is weight_bits="
+                        f"{self.weight_bits}; pass the matching weight_bits"
+                    )
+                continue
             if k.startswith("w:"):
                 self.weight_scales[k[2:]] = np.asarray(v, np.float32)
                 continue

@@ -83,14 +83,38 @@ def _bias_paths(engine: QuantEngine) -> Dict[str, Tuple[str, ...]]:
     return paths
 
 
-def _tree_add(params: Dict[str, Any], path: Tuple[str, ...], delta):
-    """Functional nested-dict update: params[path] += delta."""
+def _tree_get(params, path: Tuple[str, ...]):
+    """Read a nested-dict leaf by path."""
+    for k in path:
+        params = params[k]
+    return params
+
+
+def _tree_set(params, path: Tuple[str, ...], value):
+    """Functional nested-dict update: params[path] = value."""
     out = dict(params)
     if len(path) == 1:
-        out[path[0]] = params[path[0]] + delta
+        out[path[0]] = value
     else:
-        out[path[0]] = _tree_add(params[path[0]], path[1:], delta)
+        out[path[0]] = _tree_set(params[path[0]], path[1:], value)
     return out
+
+
+def _tree_add(params: Dict[str, Any], path: Tuple[str, ...], delta):
+    """Functional nested-dict update: params[path] += delta."""
+    return _tree_set(params, path, _tree_get(params, path) + delta)
+
+
+def head_map_loss(out, target, keys) -> jnp.ndarray:
+    """Normalized per-head MSE between two head-map dicts — THE metric of
+    the label-free fine-tuning stack: qat_finetune selects candidates on it
+    and adaround's e2e acceptance guard uses the identical definition (the
+    two must not drift)."""
+    tot = jnp.float32(0.0)
+    for k in keys:
+        d = out[k].astype(jnp.float32) - target[k]
+        tot = tot + jnp.mean(d * d) / (jnp.mean(target[k] * target[k]) + 1e-6)
+    return tot
 
 
 def qat_finetune(
@@ -161,11 +185,7 @@ def qat_finetune(
     ts = [teacher(x) for x in xs]
 
     def _loss_terms(out, t):
-        tot = jnp.float32(0.0)
-        for k in keys:
-            d = out[k].astype(jnp.float32) - t[k]
-            tot = tot + jnp.mean(d * d) / (jnp.mean(t[k] * t[k]) + 1e-6)
-        return tot
+        return head_map_loss(out, t, keys)
 
     def _cast_like_orig(params):
         return jax.tree.map(

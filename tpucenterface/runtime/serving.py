@@ -142,6 +142,16 @@ class ServingEngine:
                 )
         self.batch_ladder = tuple(sorted(ladder))
         self.int8_input = bool(int8_input)
+        if self.int8_input and not detector.config.model.stem_preprocess:
+            # the quantized-detector half of the requirement is checked at
+            # launch (quantize() after engine construction is legitimate),
+            # but a non-stem-baked model can never serve int8 input — fail
+            # at construction, not per-request in the worker
+            raise ValueError(
+                "int8_input=True requires a stem-baked preprocess model "
+                "(ModelConfig.stem_preprocess); this detector's LUT can "
+                "never exist"
+            )
         # serving decode profile: cap K below the eval default (200) —
         # K=100 halves the top-k/gather cost (Detector._decode docstring)
         self.max_dets = max_dets
@@ -193,7 +203,7 @@ class ServingEngine:
             # evict wrappers compiled against old weights versions — rolling
             # reload_weights()/quantize() cycles must not accumulate stale
             # executables (and their baked-in weight constants) forever
-            for k in [k for k in self._dp_cache if k[2] != ver]:
+            for k in [k for k in self._dp_cache if k[3] != ver]:
                 del self._dp_cache[k]
             from tpucenterface.runtime.sharding import shard_batch_fn
 

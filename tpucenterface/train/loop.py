@@ -105,10 +105,12 @@ def train(
         input_size=train_cfg.input_size,
         steps_per_epoch=steps_per_epoch,
     )
+    restored_step = -1
     if resume:
         restored = restore_checkpoint(workdir, state)
         if restored is not None:
             state = restored
+            restored_step = int(state.step)
 
     mesh = data_mesh(n_devices)
     step_fn = make_train_step(model, tx, train_cfg, pre_cfg)
@@ -120,7 +122,10 @@ def train(
     # pipeline prefetch_to_device sets up. Metrics (device values) are only
     # materialized at log_every/ckpt boundaries.
     start_step = step = int(state.step)
-    last_ckpt_step = -1
+    # the restored step's ckpt directory already exists on disk — a resume
+    # that runs zero further steps (start_step >= total_steps) must not
+    # re-save it (orbax refuses to overwrite an existing ckpt directory)
+    last_ckpt_step = restored_step
     batches = batch_iterator(
         records, train_cfg, seed=seed, wh_log=wh_log, workers=loader_workers
     )
