@@ -124,3 +124,59 @@ def test_w4_adaround_decisive_and_persistence_selfdescribing(tmp_path):
     got2 = det2.detect(img, score_thresh=-1.0)
     np.testing.assert_allclose(got2.scores, got.scores, atol=1e-6)
     np.testing.assert_allclose(got2.boxes, got.boxes, atol=1e-4)
+
+
+def test_packed_weights_roundtrip_w4_and_w8(tmp_path):
+    """save_packed_weights -> load_packed_weights -> quantize() must
+    reproduce the packed detector's servings: bit-identically when the
+    scales were frozen (adaround), and to float dust for plain PTQ (whose
+    original trace recomputed scales in-program — io.py docstring); the
+    W4 artifact must be materially smaller than f32."""
+    from tpucenterface.weights.io import (
+        load_packed_weights,
+        save_packed_weights,
+    )
+
+    rng = np.random.RandomState(5)
+    calib = rng.randint(0, 255, (4, 64, 64, 3), np.uint8)
+    img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    for bits, dw in ((4, False), (8, True)):
+        det = Detector(
+            config=DetectorConfig(model=CFG, default_size=64),
+            rng=jax.random.PRNGKey(0),
+        )
+        det.quantize(calib_images=calib, weight_bits=bits, int8_dw=dw,
+                     adaround_steps=8 if bits == 4 else 0)
+        ref = det.detect(img, score_thresh=-1.0)
+        p = str(tmp_path / f"packed_{bits}.npz")
+        sizes = save_packed_weights(det, p)
+        if bits == 4:
+            # nibble-packed kernels: well under half the f32 footprint
+            assert sizes["packed_bytes"] < 0.5 * sizes["f32_bytes"], sizes
+
+        scales, qp = load_packed_weights(p)
+        det2 = Detector(
+            config=DetectorConfig(model=CFG, default_size=64),
+            rng=jax.random.PRNGKey(1),  # different random floats on purpose
+        )
+        det2.quantize(scales=scales, quant_params=qp)
+        assert det2._quant.weight_bits == bits
+        assert det2._quant.int8_dw == dw
+        got = det2.detect(img, score_thresh=-1.0)
+        if bits == 4:  # adaround froze every scale -> bit-exact
+            np.testing.assert_array_equal(got.scores, ref.scores)
+            np.testing.assert_array_equal(got.boxes, ref.boxes)
+        else:  # plain PTQ: in-program vs frozen scale, 1-ulp float dust
+            np.testing.assert_allclose(got.scores, ref.scores, atol=1e-6)
+            np.testing.assert_allclose(got.boxes, ref.boxes, atol=1e-3)
+
+
+def test_packed_weights_requires_quantized():
+    from tpucenterface.weights.io import save_packed_weights
+
+    det = Detector(
+        config=DetectorConfig(model=CFG, default_size=64),
+        rng=jax.random.PRNGKey(0),
+    )
+    with pytest.raises(ValueError, match="quantize"):
+        save_packed_weights(det, "/tmp/nope.npz")

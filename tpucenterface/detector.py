@@ -306,6 +306,8 @@ class Detector:
         if scales is not None and "cfg:weight_bits" in scales:
             # persisted dicts are self-describing — the recorded width wins
             weight_bits = int(scales["cfg:weight_bits"])
+        if scales is not None and "cfg:int8_dw" in scales:
+            int8_dw = bool(int(scales["cfg:int8_dw"]))
         eng = QuantEngine(
             self.variables,
             self.config.model,
@@ -343,6 +345,8 @@ class Detector:
             )
             if eng.weight_bits != 8:
                 out["cfg:weight_bits"] = eng.weight_bits
+            if eng.int8_dw:
+                out["cfg:int8_dw"] = 1
             return out
         if calib_batches is not None:
             xs = [jnp.asarray(b) for b in calib_batches]
@@ -390,9 +394,12 @@ class Detector:
             self._quant = eng
             self.weights_version += 1
             self._fn_cache.clear()  # programs rebuild on the int8 forward
-        if eng.weight_bits != 8:
+        if eng.weight_bits != 8 or eng.int8_dw:
             scales = dict(scales)
-            scales["cfg:weight_bits"] = eng.weight_bits
+            if eng.weight_bits != 8:
+                scales["cfg:weight_bits"] = eng.weight_bits
+            if eng.int8_dw:
+                scales["cfg:int8_dw"] = 1
         return scales
 
     def reload_weights(

@@ -561,6 +561,14 @@ class QuantEngine:
                         f"{self.weight_bits}; pass the matching weight_bits"
                     )
                 continue
+            if k == "cfg:int8_dw":
+                if bool(int(v)) != self.int8_dw:
+                    raise ValueError(
+                        f"persisted scales were calibrated with int8_dw="
+                        f"{bool(int(v))} but this engine is int8_dw="
+                        f"{self.int8_dw}; pass the matching int8_dw"
+                    )
+                continue
             if k.startswith("w:"):
                 self.weight_scales[k[2:]] = np.asarray(v, np.float32)
                 continue

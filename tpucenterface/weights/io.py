@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,3 +60,145 @@ def load_quant_scales(path: str) -> Dict[str, Any]:
         k: (np.asarray(v, np.float64) if isinstance(v, list) else float(v))
         for k, v in raw.items()
     }
+
+
+def save_packed_weights(det, path: str) -> Dict[str, int]:
+    """Pack a quantize()d Detector's serving weights into one .npz.
+
+    Every kernel the serving trace quantizes is stored as its INTEGER grid
+    indices — two per byte at weight_bits<=4, one int8 byte otherwise —
+    with the per-output-channel scale frozen alongside. Biases and any
+    non-quantized leaves ride raw. Reconstruction guarantee: the loaded
+    model's served kernels sit on the recorded grid at the recorded scales
+    (frozen "w:<tag>" entries make trace-time round() the identity), so
+    every process loading one artifact serves bit-identically. Versus the
+    ORIGINAL detector: bit-exact when its scales were already frozen
+    (adaround); for plain-PTQ tags the original trace recomputed the scale
+    inside the fused program, which can differ from the frozen value by
+    1 ulp — head maps then agree to ~1e-7 relative (float dust, far below
+    the int8 quantization step). The float-precision kernels are NOT
+    recoverable from the artifact — this is a deployment artifact, not a
+    training checkpoint (keep model.safetensors for that).
+
+    Returns {"packed_bytes": ..., "f32_bytes": ...} (on-disk vs the f32
+    params footprint). Load side: `load_packed_weights` -> (scales,
+    quant_params) for `Detector.quantize(scales=..., quant_params=...)` —
+    the dict is fully self-describing (cfg:weight_bits / cfg:int8_dw).
+    """
+    import io as _io
+    import json
+
+    eng = getattr(det, "_quant", None)
+    if eng is None:
+        raise ValueError("save_packed_weights requires a quantize()d detector")
+    from tpucenterface.quant.adaround import _kernel_paths
+
+    qmax = eng.wqmax
+    arrays: Dict[str, np.ndarray] = {}
+    manifest: Dict[str, Any] = {
+        "weight_bits": eng.weight_bits,
+        "int8_dw": int(eng.int8_dw),
+        "packed": {},
+        "leaves": {},
+        "act": sorted(eng.act_scales or {}),
+    }
+
+    flat = flatten_dict(jax.tree.map(np.asarray, eng.p))
+    packed_paths = {}
+    for tag, kp in _kernel_paths(eng).items():
+        if tag.endswith(".dw") and not eng.int8_dw:
+            continue
+        if tag in eng.skip_tags:
+            continue
+        try:
+            node = flat[kp]
+        except KeyError:
+            continue
+        packed_paths[kp] = tag
+        # grid indices + scale via the EXACT serving-trace ops on the
+        # current backend (same lesson as the stem LUT: a host-float
+        # recomputation can differ by ulps from the device's f32 math and
+        # flip tie-ordering downstream) — _quantize_weight IS the trace
+        from tpucenterface.quant.engine import _quantize_weight
+
+        kq, sw_dev = _quantize_weight(
+            jnp.asarray(node), eng.weight_scales.get(tag), qmax
+        )
+        g = np.asarray(kq, np.int16)
+        sw = np.asarray(sw_dev, np.float64)
+        u = (g + qmax).astype(np.uint8).reshape(-1)  # [0, 2*qmax]
+        if eng.weight_bits <= 4:
+            if u.size % 2:
+                u = np.concatenate([u, np.zeros(1, np.uint8)])
+            u = (u[0::2] << 4) | u[1::2]
+        arrays[f"g/{tag}"] = u
+        arrays[f"s/{tag}"] = sw.astype(np.float32)
+        manifest["packed"][tag] = {
+            "path": list(kp), "shape": list(node.shape)
+        }
+
+    for kp, node in flat.items():
+        if kp in packed_paths:
+            continue
+        key = "p/" + "/".join(kp)
+        manifest["leaves"][key] = {
+            "path": list(kp), "dtype": str(node.dtype)
+        }
+        arrays[key] = (
+            node.astype(np.float32) if node.dtype == jnp.bfloat16 else node
+        )
+
+    for tag, v in (eng.act_scales or {}).items():
+        arrays[f"a/{tag}"] = np.asarray(v, np.float64)
+
+    arrays["manifest"] = np.frombuffer(
+        json.dumps(manifest).encode(), np.uint8
+    ).copy()
+    buf = _io.BytesIO()
+    np.savez(buf, **arrays)
+    data = buf.getvalue()
+    with open(path, "wb") as f:
+        f.write(data)
+    f32_bytes = sum(int(np.prod(v.shape)) * 4 for v in flat.values())
+    return {"packed_bytes": len(data), "f32_bytes": f32_bytes}
+
+
+def load_packed_weights(path: str):
+    """Inverse of save_packed_weights -> (scales, quant_params).
+
+    Install with `det.quantize(scales=scales, quant_params=quant_params)`
+    — weight_bits / int8_dw ride the self-describing scales dict, and the
+    frozen "w:<tag>" entries make the served program bit-identical to the
+    detector that was packed."""
+    import json
+
+    z = np.load(path)
+    manifest = json.loads(bytes(z["manifest"]).decode())
+    qmax = 2 ** (manifest["weight_bits"] - 1) - 1
+    flat: Dict[tuple, np.ndarray] = {}
+    scales: Dict[str, Any] = {}
+    for tag, info in manifest["packed"].items():
+        shape = tuple(info["shape"])
+        u = z[f"g/{tag}"]
+        if manifest["weight_bits"] <= 4:
+            u = np.stack([(u >> 4) & 0xF, u & 0xF], axis=-1).reshape(-1)
+        n = int(np.prod(shape))
+        g = u[:n].astype(np.int16) - qmax
+        sw = z[f"s/{tag}"].astype(np.float64)
+        flat[tuple(info["path"])] = (
+            g.reshape(shape).astype(np.float64) * sw
+        ).astype(np.float32)
+        scales[f"w:{tag}"] = sw.astype(np.float32)
+    for key, info in manifest["leaves"].items():
+        arr = z[key]
+        if info["dtype"] == "bfloat16":
+            arr = arr.astype(jnp.bfloat16)
+        flat[tuple(info["path"])] = arr
+    for tag in manifest["act"]:
+        v = z[f"a/{tag}"]
+        scales[tag] = v if v.ndim else float(v)
+    if manifest["weight_bits"] != 8:
+        scales["cfg:weight_bits"] = manifest["weight_bits"]
+    if manifest["int8_dw"]:
+        scales["cfg:int8_dw"] = 1
+    return scales, unflatten_dict(flat)
