@@ -258,3 +258,32 @@ def test_eval_wider_cli_int8(tmp_path, capsys):
     out = json.loads(lines[-1])
     assert set(out) == {"AP_easy", "AP_medium", "AP_hard"}
     assert all(0.0 <= v <= 1.0 for v in out.values())
+
+
+def test_serve_cli_packed_roundtrip(tmp_path):
+    """serve --int8 --save-packed then --packed: the artifact reinstalls
+    the whole quantized serving state (bits/int8_dw/scales) with no other
+    flags; detections match to float dust (bit-exactness for frozen-scale
+    artifacts is pinned in tests/test_w4.py)."""
+    import pytest
+
+    from tpucenterface.cli.serve import main as serve_main
+
+    out1 = str(tmp_path / "q.jsonl")
+    out2 = str(tmp_path / "p.jsonl")
+    packed = str(tmp_path / "m.npz")
+    common = [
+        "--source", "synthetic", "--n-synthetic", "6", "--device-batch", "4",
+        "--size", "64", "--thresh", "-1.0",
+    ]
+    serve_main(common + ["--int8", "--int8-dw", "--save-packed", packed,
+                         "--out", out1])
+    serve_main(common + ["--packed", packed, "--out", out2])
+    a = [json.loads(l) for l in open(out1)]
+    b = [json.loads(l) for l in open(out2)]
+    assert len(a) == len(b) == 6
+    for ra, rb in zip(a, b):
+        np.testing.assert_allclose(ra["scores"], rb["scores"], atol=1e-6)
+        np.testing.assert_allclose(ra["boxes"], rb["boxes"], atol=1e-3)
+    with pytest.raises(SystemExit):
+        serve_main(common + ["--packed", packed, "--scales", "x.json"])

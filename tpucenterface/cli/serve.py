@@ -77,9 +77,24 @@ def main(argv=None):
                    help="after QAT, persist the fine-tuned serving params "
                    "here (.safetensors; reinstall via --scales + "
                    "--qat-params)")
+    p.add_argument("--packed", default=None,
+                   help="load a packed deployment artifact (.npz from "
+                   "--save-packed / weights.io.save_packed_weights) — "
+                   "implies --int8; replaces --scales/--qat-params; fully "
+                   "self-describing (weight bits, int8_dw, frozen scales)")
+    p.add_argument("--save-packed", default=None,
+                   help="after quantizing, pack the serving weights into "
+                   "one .npz (nibble-packed kernels at --weight-bits<=4; "
+                   "weights.io.save_packed_weights)")
     p.add_argument("--out", default=None,
                    help="write one JSON line per image (boxes/scores)")
     args = p.parse_args(argv)
+    if args.packed and (args.scales or args.qat_params or args.qat_steps
+                        or args.adaround_steps):
+        p.error("--packed is self-contained; drop --scales/--qat-params/"
+                "--qat-steps/--adaround-steps")
+    if args.packed:
+        args.int8 = True  # the artifact IS an int8 serving forward
     if args.int8_input and not args.int8:
         p.error("--int8-input requires --int8 (the LUT is the int8 stem's)")
     if (args.qat_steps or args.adaround_steps) and args.scales:
@@ -125,7 +140,14 @@ def main(argv=None):
     if not images:
         raise SystemExit(f"no readable images in {args.source}")
 
-    if args.int8:
+    if args.packed:
+        from tpucenterface.weights.io import load_packed_weights
+
+        pk_scales, pk_params = load_packed_weights(args.packed)
+        det.quantize(scales=pk_scales, quant_params=pk_params)
+        print(f"[serve] packed artifact {args.packed}: weight_bits="
+              f"{det._quant.weight_bits} int8_dw={det._quant.int8_dw}")
+    elif args.int8:
         if args.scales:
             from tpucenterface.weights.io import load_quant_scales
 
@@ -175,6 +197,13 @@ def main(argv=None):
                 save_safetensors(det.quant_variables, args.save_qat_params)
                 print(f"[serve] QAT params persisted to "
                       f"{args.save_qat_params}")
+        if args.save_packed:
+            from tpucenterface.weights.io import save_packed_weights
+
+            sz = save_packed_weights(det, args.save_packed)
+            print(f"[serve] packed artifact -> {args.save_packed} "
+                  f"({sz['packed_bytes']/1e6:.2f} MB vs "
+                  f"{sz['f32_bytes']/1e6:.2f} MB f32)")
 
     out_f = open(args.out, "w") if args.out else None
     t0 = time.perf_counter()

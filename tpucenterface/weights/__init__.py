@@ -4,5 +4,7 @@
   generate golden activations for parity tests (SURVEY.md §4 item 1) and (b)
   document the exact torch layout reference checkpoints load into.
 - `port`        — torch state_dict -> flax {params, batch_stats} (OIHW->HWIO).
-- `io`          — safetensors save/load of the flax variables.
+- `io`          — safetensors save/load of the flax variables; quant-scale
+  JSON persistence; packed low-bit deployment artifacts
+  (save_packed_weights/load_packed_weights).
 """
