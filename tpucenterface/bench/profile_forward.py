@@ -12,7 +12,6 @@ Usage: python -m tpucenterface.bench.profile_forward [--batch 32] [--size 640]
 from __future__ import annotations
 
 import argparse
-import functools
 
 import jax
 import jax.numpy as jnp

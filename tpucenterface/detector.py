@@ -15,7 +15,6 @@ batched, bucketed, and jit-cached.
 
 from __future__ import annotations
 
-import functools
 import threading
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 

@@ -5,7 +5,7 @@ shapes are absorbed by the detector's padded resolution buckets).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

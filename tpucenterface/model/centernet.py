@@ -11,7 +11,6 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-from flax.core import FrozenDict
 
 from tpucenterface.config import ModelConfig
 from tpucenterface.model.backbone import MobileNetV2Backbone

@@ -22,7 +22,6 @@ bf16 tolerance (tests/test_fast_forward.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import jax

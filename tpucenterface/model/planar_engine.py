@@ -39,7 +39,7 @@ Round-2 follow-up measurements (bs32 @640, v5e, slope method):
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

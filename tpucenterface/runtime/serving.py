@@ -233,8 +233,6 @@ class ServingEngine:
             return group, None
 
     def _launch_inner(self, group: Sequence[_Request]):
-        import jax.numpy as jnp
-
         total = sum(r.n for r in group)
         # pad the coalesced batch up to the smallest ladder rung that fits,
         # so ragged tails and low-load singles ride a bounded executable set
