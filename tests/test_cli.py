@@ -287,3 +287,13 @@ def test_serve_cli_packed_roundtrip(tmp_path):
         np.testing.assert_allclose(ra["boxes"], rb["boxes"], atol=1e-3)
     with pytest.raises(SystemExit):
         serve_main(common + ["--packed", packed, "--scales", "x.json"])
+
+
+def test_serve_cli_save_packed_requires_int8():
+    import pytest
+
+    from tpucenterface.cli.serve import main as serve_main
+
+    with pytest.raises(SystemExit):
+        serve_main(["--source", "synthetic", "--n-synthetic", "2",
+                    "--size", "64", "--save-packed", "/tmp/x.npz"])

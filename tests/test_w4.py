@@ -180,3 +180,35 @@ def test_packed_weights_requires_quantized():
     )
     with pytest.raises(ValueError, match="quantize"):
         save_packed_weights(det, "/tmp/nope.npz")
+
+
+def test_cfg_keys_always_present_and_guard_bidirectional(tmp_path):
+    """Default (W8, no dw) calibrations must ALSO be self-describing, so a
+    default dict refuses a non-default engine — not only the reverse
+    (review finding: one-directional guard let W8 frozen scales saturate
+    a W4 engine silently)."""
+    det = Detector(
+        config=DetectorConfig(model=CFG, default_size=64),
+        rng=jax.random.PRNGKey(0),
+    )
+    rng = np.random.RandomState(3)
+    calib = rng.randint(0, 255, (4, 64, 64, 3), np.uint8)
+    scales = det.quantize(calib_images=calib)  # all defaults
+    assert int(scales["cfg:weight_bits"]) == 8
+    assert int(scales["cfg:int8_dw"]) == 0
+    # direct engine install at the wrong width refuses
+    eng = _engine(4)
+    with pytest.raises(ValueError, match="weight_bits"):
+        eng.set_scales(scales)
+    eng8 = _engine(8)
+    with pytest.raises(ValueError, match="int8_dw"):
+        eng8.set_scales({**scales, "cfg:int8_dw": 1})
+    # Detector-level reinstall ADOPTS the recorded settings (the dict wins
+    # over mismatched kwargs — documented self-description semantics)
+    det2 = Detector(
+        config=DetectorConfig(model=CFG, default_size=64),
+        rng=jax.random.PRNGKey(0),
+    )
+    det2.quantize(scales=scales, weight_bits=4, int8_dw=True)
+    assert det2._quant.weight_bits == 8
+    assert det2._quant.int8_dw is False

@@ -14,23 +14,14 @@ unreliable over the axon relay); median-of-PASSES with [min, max] spread.
 import argparse
 import json
 import statistics
-import time
 
 import numpy as np
 
 
-def _fifo_ips(fn, im, hw, b, n):
-    t0 = time.perf_counter()
-    for _ in range(n):
-        _, scores = fn(im, hw)[:2]
-    float(np.asarray(scores).sum())
-    return b * n / (time.perf_counter() - t0)
-
-
 def _median(fn, im, hw, b, n, passes):
-    _, scores = fn(im, hw)[:2]  # warm/compile
-    float(np.asarray(scores).sum())
-    vals = [_fifo_ips(fn, im, hw, b, n) for _ in range(passes)]
+    from tpucenterface.bench.timing import fifo_ips_passes
+
+    vals = fifo_ips_passes(fn, im, hw, b, n, passes)
     return (
         round(statistics.median(vals), 1),
         [round(min(vals), 1), round(max(vals), 1)],
@@ -60,7 +51,7 @@ def sweep_preset(name: str, side=640, dev_b=128, iters=100, passes=3) -> dict:
     bf16, bf16_spread = serving_vals()
     int8 = int8_spread = None
     try:
-        det.quantize(calib_images=imgs[:8], int8_dw=True)
+        det.quantize(calib_images=imgs[:8], int8_dw=True, size=side)
         int8, int8_spread = serving_vals()
     except Exception as e:  # guarded like bench.py: bf16 number survives
         import sys

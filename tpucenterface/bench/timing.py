@@ -84,3 +84,37 @@ def throughput_images_per_sec(
     float(np.asarray(jax.tree.leaves(out)[-1]).ravel()[0])
     dt = time.perf_counter() - t0
     return batch * iters / dt
+
+
+def fifo_ips(fn, im, hw, batch: int, iters: int, warm: bool = True) -> float:
+    """FIFO-bounded throughput of a `(images, hws) -> (boxes, scores, ...)`
+    program: optionally warm/compile, enqueue `iters` launches, then fetch
+    one scalar of the LAST result — device execution is FIFO so that
+    bounds all prior work (`block_until_ready` is unreliable over the axon
+    relay; see module docstring). THE canonical serving-rate measurement:
+    bench.py, cli/bench_suite.py, and bench/preset_sweep.py all time
+    through here so the method cannot drift between benchmarks.
+    """
+    import numpy as np
+
+    if warm:
+        out = fn(im, hw)
+        float(np.asarray(out[1]).sum())
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(im, hw)
+    float(np.asarray(out[1]).sum())
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def fifo_ips_passes(fn, im, hw, batch: int, iters: int, passes: int):
+    """Warm once, then `passes` independent fifo_ips measurements (for
+    median + [min, max] spread reporting — run-to-run serving spread is
+    ~±2%, so single-pass deltas below that are unattributable)."""
+    import numpy as np
+
+    out = fn(im, hw)
+    float(np.asarray(out[1]).sum())
+    return [
+        fifo_ips(fn, im, hw, batch, iters, warm=False) for _ in range(passes)
+    ]

@@ -23,15 +23,11 @@ def _barrier(x):
 
 
 def _fifo_ips(fn, im, hw, batch, iters):
-    """Warm/compile once, enqueue `iters` launches, barrier on the LAST
-    result's scores (device execution is FIFO) -> images/sec."""
-    out = fn(im, hw)
-    _barrier(out[1])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(im, hw)
-    _barrier(out[1])
-    return batch * iters / (time.perf_counter() - t0)
+    """Shared FIFO-bounded rate (bench.timing.fifo_ips): warm/compile,
+    enqueue `iters` launches, barrier on the LAST result -> images/sec."""
+    from tpucenterface.bench.timing import fifo_ips
+
+    return fifo_ips(fn, im, hw, batch, iters)
 
 
 def config1_single_320(det) -> dict:

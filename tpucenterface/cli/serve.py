@@ -93,6 +93,9 @@ def main(argv=None):
                         or args.adaround_steps):
         p.error("--packed is self-contained; drop --scales/--qat-params/"
                 "--qat-steps/--adaround-steps")
+    if args.save_packed and not (args.int8 or args.packed):
+        p.error("--save-packed requires an int8 serving state (--int8 "
+                "calibration/install or --packed)")
     if args.packed:
         args.int8 = True  # the artifact IS an int8 serving forward
     if args.int8_input and not args.int8:
@@ -158,7 +161,7 @@ def main(argv=None):
                 quant_params = load_safetensors(args.qat_params)["params"]
             scales = det.quantize(
                 scales=load_quant_scales(args.scales), int8_dw=args.int8_dw,
-                quant_params=quant_params,
+                quant_params=quant_params, weight_bits=args.weight_bits,
             )
             print(f"[serve] int8 forward with persisted scales {args.scales}"
                   + (f" + QAT params {args.qat_params}"
@@ -197,13 +200,15 @@ def main(argv=None):
                 save_safetensors(det.quant_variables, args.save_qat_params)
                 print(f"[serve] QAT params persisted to "
                       f"{args.save_qat_params}")
-        if args.save_packed:
-            from tpucenterface.weights.io import save_packed_weights
 
-            sz = save_packed_weights(det, args.save_packed)
-            print(f"[serve] packed artifact -> {args.save_packed} "
-                  f"({sz['packed_bytes']/1e6:.2f} MB vs "
-                  f"{sz['f32_bytes']/1e6:.2f} MB f32)")
+
+    if args.save_packed:
+        from tpucenterface.weights.io import save_packed_weights
+
+        sz = save_packed_weights(det, args.save_packed)
+        print(f"[serve] packed artifact -> {args.save_packed} "
+              f"({sz['packed_bytes']/1e6:.2f} MB vs "
+              f"{sz['f32_bytes']/1e6:.2f} MB f32)")
 
     out_f = open(args.out, "w") if args.out else None
     t0 = time.perf_counter()

@@ -342,10 +342,11 @@ class Detector:
             out.update(
                 {f"w:{t}": np.asarray(s) for t, s in eng.weight_scales.items()}
             )
-            if eng.weight_bits != 8:
-                out["cfg:weight_bits"] = eng.weight_bits
-            if eng.int8_dw:
-                out["cfg:int8_dw"] = 1
+            # ALWAYS present so the self-describing guard is
+            # bidirectional (a default-calibrated dict must refuse a
+            # non-default engine too, not only the reverse)
+            out["cfg:weight_bits"] = eng.weight_bits
+            out["cfg:int8_dw"] = int(eng.int8_dw)
             return out
         if calib_batches is not None:
             xs = [jnp.asarray(b) for b in calib_batches]
@@ -393,12 +394,9 @@ class Detector:
             self._quant = eng
             self.weights_version += 1
             self._fn_cache.clear()  # programs rebuild on the int8 forward
-        if eng.weight_bits != 8 or eng.int8_dw:
-            scales = dict(scales)
-            if eng.weight_bits != 8:
-                scales["cfg:weight_bits"] = eng.weight_bits
-            if eng.int8_dw:
-                scales["cfg:int8_dw"] = 1
+        scales = dict(scales)
+        scales["cfg:weight_bits"] = eng.weight_bits
+        scales["cfg:int8_dw"] = int(eng.int8_dw)
         return scales
 
     def reload_weights(

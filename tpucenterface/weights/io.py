@@ -197,8 +197,6 @@ def load_packed_weights(path: str):
     for tag in manifest["act"]:
         v = z[f"a/{tag}"]
         scales[tag] = v if v.ndim else float(v)
-    if manifest["weight_bits"] != 8:
-        scales["cfg:weight_bits"] = manifest["weight_bits"]
-    if manifest["int8_dw"]:
-        scales["cfg:int8_dw"] = 1
+    scales["cfg:weight_bits"] = manifest["weight_bits"]
+    scales["cfg:int8_dw"] = int(manifest["int8_dw"])
     return scales, unflatten_dict(flat)
