@@ -14,7 +14,6 @@ import json
 import os
 import statistics
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -35,22 +34,10 @@ def main():
     imgs = rng.randint(0, 255, (batch, side, side, 3), np.uint8)
     hws = np.tile(np.array([[side, side]], np.int32), (batch, 1))
 
-    def fifo_ips(fn_, im, hw, b, n):
-        """Enqueue n launches, fetch one scalar of the LAST result: device
-        execution is FIFO so that bounds all prior work (block_until_ready
-        is unreliable over the axon relay)."""
-        t0 = time.perf_counter()
-        for _ in range(n):
-            _, scores = fn_(im, hw)[:2]
-        float(np.asarray(scores).sum())
-        return b * n / (time.perf_counter() - t0)
-
-    def median_ips(fn_, im, hw, b, n, passes):
-        """Warm/compile once, then median-of-`passes` FIFO measurements."""
-        _, scores = fn_(im, hw)[:2]
-        float(np.asarray(scores).sum())
-        vals = [fifo_ips(fn_, im, hw, b, n) for _ in range(passes)]
-        return vals
+    # the canonical FIFO-bounded measurement (warm once, median-of-passes)
+    # — shared with cli/bench_suite.py and bench/preset_sweep.py so the
+    # method cannot drift between benchmarks
+    from tpucenterface.bench.timing import fifo_ips_passes as median_ips
 
     def stats(vals):
         return (
