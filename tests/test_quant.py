@@ -295,3 +295,38 @@ def test_detector_quantize_percentile_kwarg():
         for k in s_max
     )
     assert any(float(np.max(s_pct[k])) < float(np.max(s_max[k])) for k in s_max)
+
+
+def test_quantize_landmark_model_and_adaround():
+    """The int8 engine must carry the 10-channel landmark head through the
+    fused-head form, and adaround's e2e metric must include the lm map
+    (keys gains 'lm' for with_landmarks models)."""
+    import jax
+
+    from tpucenterface.config import DetectorConfig, ModelConfig
+    from tpucenterface.detector import Detector
+
+    cfg = DetectorConfig(
+        model=ModelConfig(compute_dtype="float32", with_landmarks=True),
+        default_size=64,
+    )
+    det = Detector(config=cfg, rng=jax.random.PRNGKey(5))
+    rng = np.random.RandomState(9)
+    calib = rng.randint(0, 255, (4, 64, 64, 3), np.uint8)
+    img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+    ref = det.detect(img, score_thresh=-1.0)
+    assert ref.landmarks is not None
+
+    det.quantize(calib_images=calib, adaround_steps=6)
+    got = det.detect(img, score_thresh=-1.0)
+    assert got.landmarks is not None and got.landmarks.shape[1:] == (5, 2)
+    assert np.isfinite(got.landmarks).all()
+    # int8 landmarks track the float path loosely (random weights)
+    np.testing.assert_allclose(
+        np.sort(got.scores), np.sort(ref.scores), atol=0.05
+    )
+    rep = det.last_adaround_report
+    assert rep is not None and "_e2e_first" in rep
+    det.dequantize()
+    back = det.detect(img, score_thresh=-1.0)
+    np.testing.assert_allclose(back.landmarks, ref.landmarks, atol=1e-5)
