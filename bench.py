@@ -12,7 +12,6 @@ VERDICT r2 #8: deltas smaller than the spread must be attributable).
 
 import json
 import os
-import statistics
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -38,12 +37,10 @@ def main():
     # — shared with cli/bench_suite.py and bench/preset_sweep.py so the
     # method cannot drift between benchmarks
     from tpucenterface.bench.timing import fifo_ips_passes as median_ips
+    from tpucenterface.bench.timing import median_spread
 
     def stats(vals):
-        return (
-            round(statistics.median(vals), 2),
-            [round(min(vals), 2), round(max(vals), 2)],
-        )
+        return median_spread(vals, ndigits=2)
 
     # contract-literal bs32 @640 program (100 enqueued batches per pass: at
     # 30 the run-constant relay dispatch costs depress steady state by ~5%)

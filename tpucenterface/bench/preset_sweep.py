@@ -13,29 +13,25 @@ unreliable over the axon relay); median-of-PASSES with [min, max] spread.
 
 import argparse
 import json
-import statistics
 
 import numpy as np
 
 
 def _median(fn, im, hw, b, n, passes):
-    from tpucenterface.bench.timing import fifo_ips_passes
+    from tpucenterface.bench.timing import fifo_ips_passes, median_spread
 
-    vals = fifo_ips_passes(fn, im, hw, b, n, passes)
-    return (
-        round(statistics.median(vals), 1),
-        [round(min(vals), 1), round(max(vals), 1)],
-    )
+    return median_spread(fifo_ips_passes(fn, im, hw, b, n, passes))
 
 
 def sweep_preset(name: str, side=640, dev_b=128, iters=100, passes=3) -> dict:
     from tpucenterface.config import preset
     from tpucenterface.detector import Detector, stage_inputs
 
+    import jax
+
     det = Detector(config=preset(name))
     n_params = sum(
-        int(np.prod(v.shape))
-        for v in __import__("jax").tree.leaves(det.variables)
+        int(np.prod(v.shape)) for v in jax.tree.leaves(det.variables)
     )
     rng = np.random.RandomState(0)
     imgs = rng.randint(0, 255, (dev_b, side, side, 3), np.uint8)

@@ -118,3 +118,14 @@ def fifo_ips_passes(fn, im, hw, batch: int, iters: int, passes: int):
     return [
         fifo_ips(fn, im, hw, batch, iters, warm=False) for _ in range(passes)
     ]
+
+
+def median_spread(vals, ndigits: int = 1):
+    """(median, [min, max]) of a fifo_ips_passes result, rounded — the
+    reporting form every benchmark prints."""
+    import statistics
+
+    return (
+        round(statistics.median(vals), ndigits),
+        [round(min(vals), ndigits), round(max(vals), ndigits)],
+    )

@@ -201,7 +201,6 @@ def main(argv=None):
                 print(f"[serve] QAT params persisted to "
                       f"{args.save_qat_params}")
 
-
     if args.save_packed:
         from tpucenterface.weights.io import save_packed_weights
 

@@ -58,6 +58,23 @@ def stage_inputs(fmts, imgs, hws):
     return jax.device_put(imgs, fmts[0]), jax.device_put(hws, fmts[1])
 
 
+def _export_scales(eng) -> Dict[str, Any]:
+    """The FULL installable/persistable scales dict of a quantized engine:
+    activation scales + any frozen "w:<tag>" adaround weight scales (a
+    re-export must not drop the learned-rounding reconstruction) + the
+    ALWAYS-present cfg:weight_bits/cfg:int8_dw self-description (the
+    mismatch guard must be bidirectional). SINGLE definition — both
+    quantize() return paths go through here so they cannot drift.
+    """
+    out = dict(eng.act_scales)
+    out.update(
+        {f"w:{t}": np.asarray(s) for t, s in eng.weight_scales.items()}
+    )
+    out["cfg:weight_bits"] = eng.weight_bits
+    out["cfg:int8_dw"] = int(eng.int8_dw)
+    return out
+
+
 class Detector:
     """Face detector: model weights + fused preprocess->forward->decode programs."""
 
@@ -334,20 +351,7 @@ class Detector:
                 self._quant = eng
                 self.weights_version += 1
                 self._fn_cache.clear()
-            # return the FULL installable dict: act_scales plus any "w:<tag>"
-            # adaround weight scales set_scales routed into weight_scales —
-            # re-exporting installed scales must not drop the learned-rounding
-            # reconstruction (persistence round-trip contract)
-            out = dict(eng.act_scales)
-            out.update(
-                {f"w:{t}": np.asarray(s) for t, s in eng.weight_scales.items()}
-            )
-            # ALWAYS present so the self-describing guard is
-            # bidirectional (a default-calibrated dict must refuse a
-            # non-default engine too, not only the reverse)
-            out["cfg:weight_bits"] = eng.weight_bits
-            out["cfg:int8_dw"] = int(eng.int8_dw)
-            return out
+            return _export_scales(eng)
         if calib_batches is not None:
             xs = [jnp.asarray(b) for b in calib_batches]
         elif calib_images is not None:
@@ -376,13 +380,6 @@ class Detector:
             self.last_adaround_report = adaround(
                 eng, xs, steps=adaround_steps
             )
-            # the learned rounding rides the persisted pair: frozen weight
-            # scales inside the scales dict + on-grid kernels in
-            # quant_variables (reinstall via scales= + quant_params=)
-            scales = dict(scales)
-            scales.update(
-                {f"w:{t}": np.asarray(s) for t, s in eng.weight_scales.items()}
-            )
         if qat_steps:
             from tpucenterface.quant.qat import qat_finetune
 
@@ -394,10 +391,7 @@ class Detector:
             self._quant = eng
             self.weights_version += 1
             self._fn_cache.clear()  # programs rebuild on the int8 forward
-        scales = dict(scales)
-        scales["cfg:weight_bits"] = eng.weight_bits
-        scales["cfg:int8_dw"] = int(eng.int8_dw)
-        return scales
+        return _export_scales(eng)
 
     def reload_weights(
         self,

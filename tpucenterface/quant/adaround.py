@@ -138,11 +138,15 @@ def adaround(
     # scale=None would re-round at a DIFFERENT scale than the serving
     # program. Pending layers start at their amax-derived scale —
     # bit-identical to what _quantize_weight derives from the float kernel.
+    def _quantized_tag(tag: str) -> bool:
+        # replicate _conv's quantize gating (depthwise only under int8_dw)
+        return not (
+            tag.endswith(".dw") and not engine.int8_dw
+        ) and tag not in engine.skip_tags
+
     ws: Dict[str, jnp.ndarray] = {}
     for _tag, _kp in kpaths.items():
-        if _tag.endswith(".dw") and not engine.int8_dw:
-            continue
-        if _tag in engine.skip_tags:
+        if not _quantized_tag(_tag):
             continue
         _kk = jnp.asarray(_tree_get(work_p, _kp), jnp.float32)
         _amax0 = jnp.max(jnp.abs(_kk), axis=(0, 1, 2))
@@ -246,10 +250,7 @@ def adaround(
 
     report: Dict[str, float] = {}
     for tag in kpaths:
-        # replicate _conv's quantize gating: depthwise only under int8_dw
-        if tag.endswith(".dw") and not engine.int8_dw:
-            continue
-        if tag in engine.skip_tags:
+        if not _quantized_tag(tag):
             continue
         # quantized-net inputs (with layers optimized so far) + float
         # targets; re-captured per layer because work_p moved (the paper's

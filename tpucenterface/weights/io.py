@@ -92,6 +92,7 @@ def save_packed_weights(det, path: str) -> Dict[str, int]:
     if eng is None:
         raise ValueError("save_packed_weights requires a quantize()d detector")
     from tpucenterface.quant.adaround import _kernel_paths
+    from tpucenterface.quant.engine import _quantize_weight
 
     qmax = eng.wqmax
     arrays: Dict[str, np.ndarray] = {}
@@ -104,7 +105,7 @@ def save_packed_weights(det, path: str) -> Dict[str, int]:
     }
 
     flat = flatten_dict(jax.tree.map(np.asarray, eng.p))
-    packed_paths = {}
+    packed_paths = set()
     for tag, kp in _kernel_paths(eng).items():
         if tag.endswith(".dw") and not eng.int8_dw:
             continue
@@ -114,13 +115,11 @@ def save_packed_weights(det, path: str) -> Dict[str, int]:
             node = flat[kp]
         except KeyError:
             continue
-        packed_paths[kp] = tag
+        packed_paths.add(kp)
         # grid indices + scale via the EXACT serving-trace ops on the
         # current backend (same lesson as the stem LUT: a host-float
         # recomputation can differ by ulps from the device's f32 math and
         # flip tie-ordering downstream) — _quantize_weight IS the trace
-        from tpucenterface.quant.engine import _quantize_weight
-
         kq, sw_dev = _quantize_weight(
             jnp.asarray(node), eng.weight_scales.get(tag), qmax
         )
