@@ -210,3 +210,33 @@ def test_reexported_scales_keep_adaround_weight_scales(tmp_path):
         np.testing.assert_allclose(
             np.asarray(reexported[k]), np.asarray(scales[k])
         )
+
+
+def test_adaround_rejects_mixed_shape_batches():
+    _, variables = init_model(CFG, rng=jax.random.PRNGKey(6), input_size=64)
+    eng = QuantEngine(fold_variables(variables), CFG)
+    rng = np.random.RandomState(1)
+    mixed = [
+        rng.rand(2, 64, 64, 3).astype(np.float32),
+        rng.rand(2, 96, 96, 3).astype(np.float32),
+    ]
+    eng.calibrate(mixed)  # calibrate itself accepts mixed sizes
+    with pytest.raises(ValueError, match="one spatial size"):
+        adaround(eng, mixed, steps=2)
+
+
+def test_set_scales_and_calibrate_reset_frozen_weight_scales():
+    """A dict without 'w:' entries (or a fresh calibration) must not
+    inherit a prior install's frozen scales — stale scales silently clip
+    re-loaded kernels (review finding)."""
+    _, variables = init_model(CFG, rng=jax.random.PRNGKey(6), input_size=64)
+    eng = QuantEngine(fold_variables(variables), CFG)
+    rng = np.random.RandomState(1)
+    cal = [rng.rand(2, 64, 64, 3).astype(np.float32)]
+    base = eng.calibrate(cal)
+    eng.weight_scales["stem"] = np.ones(8, np.float32)  # simulate adaround
+    eng.set_scales(dict(base))  # no "w:" entries
+    assert eng.weight_scales == {}
+    eng.weight_scales["stem"] = np.ones(8, np.float32)
+    eng.calibrate(cal)
+    assert eng.weight_scales == {}

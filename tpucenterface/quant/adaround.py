@@ -98,6 +98,16 @@ def adaround(
         raise ValueError("adaround requires a calibrated engine")
     if not batches:
         raise ValueError("adaround needs at least one batch")
+    shapes = {tuple(np.asarray(b).shape[1:]) for b in batches}
+    if len(shapes) != 1:
+        # calibrate() aggregates per-batch amax and so accepts mixed
+        # spatial sizes, but layer-wise reconstruction concatenates every
+        # batch's captured activations per conv — fail BEFORE the
+        # expensive compiles, not mid-run with weight_scales half-written
+        raise ValueError(
+            f"adaround needs all calibration batches at one spatial size "
+            f"(got {sorted(shapes)}); resize or split the calibration set"
+        )
     import optax
 
     # the engine's weight grid (127 for W8, 7 for W4): AdaRound's headroom
@@ -206,7 +216,6 @@ def adaround(
         return float(_e2e(p, ws, tuple(xs), tuple(fheads)))
 
     e2e_first = _e2e_loss(work_p)
-    caps_f_all = [_cap_float(float_p, x) for x in xs]
 
     tx = optax.adam(lr)
 
@@ -266,12 +275,22 @@ def adaround(
                 for c in caps_q
             ]
         )
-        y_t = jnp.concatenate([c[tag]["y"] for c in caps_f_all])
+        del caps_q  # free the other ~L tags' captures before optimizing
+        # float targets re-captured per layer and extracted immediately:
+        # holding every conv's float output for every batch for the whole
+        # run is multi-GB at realistic calibration sizes (the capture-all
+        # launch itself peaks at ONE batch's full activation footprint,
+        # same order as any forward)
+        y_t = jnp.concatenate(
+            [_cap_float(float_p, x)[tag]["y"] for x in xs]
+        )
 
         k = jnp.asarray(_tree_get(work_p, kpaths[tag]), jnp.float32)
         b = jnp.asarray(_tree_get(work_p, bpaths[tag]), jnp.float32)
-        amax = jnp.max(jnp.abs(k), axis=(0, 1, 2))
-        sw = (jnp.maximum(amax, 1e-8) / qmax).astype(jnp.float32)
+        # THE scale for this layer: ws[tag] was derived from this exact
+        # (still-float) kernel with _quantize_weight's rule — recomputing
+        # here would be a second copy of that rule to keep in sync
+        sw = ws[tag]
         kdiv = k / sw
         floor = jnp.floor(kdiv)
         v0 = _h_init(kdiv - floor)
@@ -310,10 +329,11 @@ def adaround(
                 k_nearest.astype(_tree_get(work_p, kpaths[tag]).dtype),
             )
             report[tag] = 1.0
-        # freeze the scale for all LATER captures/e2e (the on-grid kernel's
-        # amax-derived scale may be finer) and for the serving trace
+        # freeze the scale for the serving trace; ws[tag] already holds
+        # this exact value, which later captures/e2e keep using (the
+        # on-grid kernel's amax-derived scale may be finer — recomputing
+        # would change the program)
         engine.weight_scales[tag] = np.asarray(sw)
-        ws[tag] = jnp.asarray(sw)
 
     # e2e acceptance: per-layer reconstruction wins don't always compose at
     # 8 bits (the deviations are near the noise floor) — ship the learned

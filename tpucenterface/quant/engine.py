@@ -517,6 +517,9 @@ class QuantEngine:
             raise ValueError(f"percentile must be in (50, 100], got {percentile}")
         self._calib_percentile = percentile
         self._amax = {}
+        # fresh calibration = fresh quantization state (adaround re-freezes
+        # weight scales AFTER calibrate when requested)
+        self.weight_scales.clear()
 
         def fwd_amax(x):
             self._amax_collector = {}
@@ -547,7 +550,13 @@ class QuantEngine:
         fixed per-output-channel weight scales (installed alongside the
         matching quant_params). Deployment contract: calibrate once,
         persist (weights.io.save_quant_scales), install everywhere.
+
+        Replaces ALL quantization state: any previously-installed frozen
+        weight scales are dropped first (a dict without "w:" entries must
+        not inherit a prior install's — stale frozen scales would clip a
+        re-loaded kernel's channels silently).
         """
+        self.weight_scales.clear()
         out: Dict[str, Any] = {}
         for k, v in scales.items():
             if k == "cfg:weight_bits":
