@@ -723,3 +723,56 @@ def test_int8_input_requires_stem_bake_at_construction():
     d = Detector(config=cfg, rng=jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="stem"):
         ServingEngine(d, HW, device_batch=8, int8_input=True)
+
+
+def test_cancelled_future_does_not_block_group(det):
+    """A client cancel() racing the worker's set_result must not abort
+    resolving the REST of the coalesced group (the InvalidStateError is
+    swallowed per-future, not thrown mid-loop)."""
+    with ServingEngine(det, HW, device_batch=8, score_thresh=-1.0) as eng:
+        f1 = eng.submit(np.zeros((4, *HW, 3), np.uint8))
+        f2 = eng.submit(np.zeros((4, *HW, 3), np.uint8))
+        f1.cancel()  # may or may not win the race — both must be harmless
+        r2 = f2.result(timeout=120)
+        assert len(r2) == 4
+        # worker survived: the engine still serves
+        assert len(eng.submit(
+            np.zeros((1, *HW, 3), np.uint8)
+        ).result(timeout=120)) == 1
+
+
+def test_submit_rejected_during_map_stream(det):
+    """Exclusivity is bidirectional: submit() while a map_stream sweep is
+    mid-flight must raise (it would start a worker interleaving with the
+    caller-thread pipeline)."""
+    eng = ServingEngine(det, HW, device_batch=8, score_thresh=-1.0)
+
+    def gen():
+        yield (np.zeros((4, *HW, 3), np.uint8), None)
+        with pytest.raises(RuntimeError, match="map_stream"):
+            eng.submit(np.zeros((1, *HW, 3), np.uint8))
+        yield (np.zeros((4, *HW, 3), np.uint8), None)
+
+    out = list(eng.map_stream(gen()))
+    assert len(out) == 2
+    # the sweep released the engine: submit works again
+    assert len(eng.submit(
+        np.zeros((1, *HW, 3), np.uint8)
+    ).result(timeout=120)) == 1
+    eng.close()
+
+
+def test_int8_input_requires_identity_fast_path():
+    """int8_input with identity_fast_path=False could never take the int8
+    staging branch — construction must refuse (review finding: it silently
+    served the uint8 program forever)."""
+    from tpucenterface.config import PreprocessConfig
+
+    cfg = DetectorConfig(
+        model=ModelConfig(compute_dtype="float32"),
+        preprocess=PreprocessConfig(identity_fast_path=False),
+        default_size=64,
+    )
+    d = Detector(config=cfg, rng=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="identity_fast_path"):
+        ServingEngine(d, HW, device_batch=8, int8_input=True)

@@ -35,7 +35,7 @@ class Detections(NamedTuple):
     landmarks: Optional[np.ndarray] = None  # (N, 5, 2) or None
 
 from tpucenterface.config import DetectorConfig
-from tpucenterface.decode.reference import boxes_to_original, decode_feats
+from tpucenterface.decode.reference import boxes_to_original
 from tpucenterface.model.centernet import CenterFaceNet, init_model
 from tpucenterface.preprocess import (
     letterbox_normalize,
@@ -459,7 +459,15 @@ class Detector:
     def _get_or_build(self, key: Tuple, builder) -> Any:
         """Thread-safe jit-cache access: read under the lock, build outside
         (jit wrapper construction is cheap; tracing is deferred), insert
-        with setdefault so concurrent builders converge on one program."""
+        with setdefault so concurrent builders converge on one program.
+
+        The key carries weights_version: a builder racing with
+        reload_weights()/quantize() would otherwise insert its wrapper
+        AFTER the version bump's cache clear, leaving an entry from the
+        old regime reachable in the new one. Versioned keys make any such
+        straggler unreachable (and the clear() on version bump drops the
+        old generation's entries outright)."""
+        key = key + (self.weights_version,)
         with self._fn_lock:
             fn = self._fn_cache.get(key)
         if fn is None:

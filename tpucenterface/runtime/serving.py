@@ -40,12 +40,27 @@ import collections
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from typing import Any, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from tpucenterface.detector import Detections, Detector
+
+
+def _resolve(fut: Future, result=None, exc=None) -> None:
+    """set_result/set_exception tolerating a client cancel() racing in
+    between any 'cancelled()' check and the set: these futures are never
+    set_running_or_notify_cancel()'d, so cancel() can succeed right up to
+    the set — an InvalidStateError here must not abort resolving the REST
+    of a coalesced group (their callers would block forever)."""
+    try:
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except InvalidStateError:  # client cancelled — drop the result
+        pass
 
 
 class _Request:
@@ -142,15 +157,20 @@ class ServingEngine:
                 )
         self.batch_ladder = tuple(sorted(ladder))
         self.int8_input = bool(int8_input)
-        if self.int8_input and not detector.config.model.stem_preprocess:
+        if self.int8_input and not (
+            detector.config.model.stem_preprocess
+            and detector.config.preprocess.identity_fast_path
+        ):
             # the quantized-detector half of the requirement is checked at
             # launch (quantize() after engine construction is legitimate),
-            # but a non-stem-baked model can never serve int8 input — fail
-            # at construction, not per-request in the worker
+            # but without a stem-baked model AND the identity fast path the
+            # int8 staging branch can never run — fail at construction,
+            # not silently serve the uint8 program forever
             raise ValueError(
                 "int8_input=True requires a stem-baked preprocess model "
-                "(ModelConfig.stem_preprocess); this detector's LUT can "
-                "never exist"
+                "(ModelConfig.stem_preprocess) with "
+                "PreprocessConfig.identity_fast_path enabled; this "
+                "detector can never take the int8 staging path"
             )
         # serving decode profile: cap K below the eval default (200) —
         # K=100 halves the top-k/gather cost (Detector._decode docstring)
@@ -168,6 +188,7 @@ class ServingEngine:
         )
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
+        self._map_active = False  # a map_stream() sweep owns the engine
         self._carry: Optional[_Request] = None  # overflow from _coalesce
         self._closed = False
         self._lock = threading.Lock()
@@ -228,8 +249,7 @@ class ServingEngine:
             return group, self._launch_inner(group)
         except Exception as e:
             for r in group:
-                if not r.future.cancelled():
-                    r.future.set_exception(e)
+                _resolve(r.future, exc=e)
             return group, None
 
     def _launch_inner(self, group: Sequence[_Request]):
@@ -284,9 +304,6 @@ class ServingEngine:
                 imgs[o : o + r.n] = r.images
                 hws[o : o + r.n] = r.hws
                 o += r.n
-        with self._stats_lock:
-            self._n_launches += 1
-            self._n_pad_images += b - total
         fn, fmts = self._fn(b, identity=identity, int8_in=use_i8)
         if self.mesh is not None:
             from tpucenterface.runtime.sharding import put_sharded
@@ -299,7 +316,14 @@ class ServingEngine:
             from tpucenterface.detector import stage_inputs
 
             dev_im, dev_hw = stage_inputs(fmts, imgs, hws)
-        return fn(dev_im, dev_hw)
+        res = fn(dev_im, dev_hw)
+        # counted only once the dispatch succeeded — a build/staging error
+        # above must not inflate launches/pad_images (stats would drift
+        # from what actually ran on device)
+        with self._stats_lock:
+            self._n_launches += 1
+            self._n_pad_images += b - total
+        return res
 
     def _finalize(self, group: Sequence[_Request], res: Any) -> None:
         """Fetch a launched group's results and fulfil its futures."""
@@ -317,8 +341,7 @@ class ServingEngine:
                 o += r.n
         except Exception as e:
             for r in group:
-                if not r.future.cancelled():
-                    r.future.set_exception(e)
+                _resolve(r.future, exc=e)
             return
         now = time.perf_counter()
         with self._stats_lock:
@@ -327,8 +350,7 @@ class ServingEngine:
                 self._n_requests += 1
                 self._n_images += r.n
         for r, out in zip(group, split):
-            if not r.future.cancelled():
-                r.future.set_result(out)
+            _resolve(r.future, result=out)
 
     def _coalesce(self, first: _Request) -> List[_Request]:
         group = [first]
@@ -423,6 +445,15 @@ class ServingEngine:
         with self._lock:
             if self._closed:
                 raise RuntimeError("ServingEngine is closed")
+            if self._map_active:
+                # the exclusivity is bidirectional: a map_stream() sweep
+                # drives _launch/_finalize from its caller thread, and a
+                # concurrently-started worker would interleave launches and
+                # race the DP wrapper cache
+                raise RuntimeError(
+                    "submit() cannot run while a map_stream() sweep is "
+                    "active; use a separate engine"
+                )
             if self._worker is None:
                 self._worker = threading.Thread(
                     target=self._worker_loop, daemon=True
@@ -502,11 +533,14 @@ class ServingEngine:
         drives _launch/_finalize from the caller thread, which must not
         interleave with the background worker's pipeline discipline.
         """
-        if self._worker is not None:
-            raise RuntimeError(
-                "map_stream() cannot run while the submit() worker is "
-                "active; use a separate engine for the offline sweep"
-            )
+        with self._lock:
+            if self._worker is not None or self._map_active:
+                raise RuntimeError(
+                    "map_stream() cannot run while the submit() worker or "
+                    "another map_stream() sweep is active; use a separate "
+                    "engine for the offline sweep"
+                )
+            self._map_active = True
         launched: collections.deque = collections.deque()
         done: List[_Request] = []
         group: List[_Request] = []
@@ -520,18 +554,22 @@ class ServingEngine:
                 while len(launched) > self.inflight:
                     self._finalize(*launched.popleft())
 
-        for images, hws in batches:
-            r = self._make_request(images, hws)
-            if n + r.n > self.device_batch:
-                flush_group()
-            group.append(r)
-            n += r.n
-            done.append(r)
-            while done and done[0].future.done():
-                yield done.pop(0).future.result()
-        flush_group()
-        while launched:
-            self._finalize(*launched.popleft())
+        try:
+            for images, hws in batches:
+                r = self._make_request(images, hws)
+                if n + r.n > self.device_batch:
+                    flush_group()
+                group.append(r)
+                n += r.n
+                done.append(r)
+                while done and done[0].future.done():
+                    yield done.pop(0).future.result()
+            flush_group()
+            while launched:
+                self._finalize(*launched.popleft())
+        finally:
+            with self._lock:
+                self._map_active = False
         for r in done:
             yield r.future.result()
 
