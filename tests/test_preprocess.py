@@ -103,7 +103,11 @@ def test_detector_identity_dispatch_matches_general():
     )
     det = Detector(config=cfg_on, rng=jax.random.PRNGKey(1))
     out_id = det.detect_batch(imgs, score_thresh=-1.0)
-    assert ("batch", 2, (size, size), size, True, None, False) in det._fn_cache
+    # cache keys carry weights_version as the last component
+    assert (
+        "batch", 2, (size, size), size, True, None, False,
+        det.weights_version,
+    ) in det._fn_cache
 
     # reuse det's (already folded) config so the folded variables load
     cfg_off = dataclasses.replace(
@@ -114,7 +118,10 @@ def test_detector_identity_dispatch_matches_general():
     )
     det2 = Detector(variables=det.variables, config=cfg_off)
     out_gen = det2.detect_batch(imgs, score_thresh=-1.0)
-    assert ("batch", 2, (size, size), size, False, None, False) in det2._fn_cache
+    assert (
+        "batch", 2, (size, size), size, False, None, False,
+        det2.weights_version,
+    ) in det2._fn_cache
     for a, b in zip(out_id, out_gen):
         np.testing.assert_allclose(a.scores, b.scores, atol=2e-3)
         # box agreement where scores are well-separated (top detections)
