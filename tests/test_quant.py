@@ -103,6 +103,26 @@ def test_quantize_requires_input():
         det.quantize()
 
 
+def test_quantize_quant_params_requires_scales():
+    """quant_params without scales must refuse: the calibration path would
+    clear the frozen 'w:<tag>' scales the fine-tuned params depend on and
+    distill against the wrong (already fine-tuned) 'float' teacher."""
+    import jax
+    import pytest
+
+    from tpucenterface.config import DetectorConfig, ModelConfig
+    from tpucenterface.detector import Detector
+
+    det = Detector(
+        config=DetectorConfig(
+            model=ModelConfig(compute_dtype="float32"), default_size=64
+        ),
+        rng=jax.random.PRNGKey(0),
+    )
+    with pytest.raises(ValueError, match="scales"):
+        det.quantize(quant_params={"params": {}})
+
+
 def test_stem_fixed_scale_covers_pixel_range():
     """The stem_preprocess input scale must cover the full raw range
     (max(255*mean, 255*(1-mean))) — and refuse to guess without pp_cfg."""

@@ -332,6 +332,18 @@ class Detector:
             weight_bits=weight_bits,
         )
         if quant_params is not None:
+            if scales is None:
+                # mirror of the scales-without-fine-tune guard below: with
+                # no scales, the flow would fall into calibrate(), which
+                # clears the frozen "w:<tag>" weight scales these params
+                # depend on, and would distill against the already
+                # fine-tuned params as the "float" teacher
+                raise ValueError(
+                    "quant_params requires scales= (pass the persisted "
+                    "pair exported by quantize(); recalibrating on top of "
+                    "fine-tuned params would corrupt both the weight "
+                    "scales and the distillation teacher)"
+                )
             # persisted fine-tuned serving params (see quant_variables);
             # accept either the inner params tree or the {"params": ...}
             # wrapper quant_variables returns

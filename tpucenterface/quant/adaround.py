@@ -263,19 +263,28 @@ def adaround(
             continue
         # quantized-net inputs (with layers optimized so far) + float
         # targets; re-captured per layer because work_p moved (the paper's
-        # sequential/asymmetric reconstruction)
-        caps_q = [_cap_quant(work_p, ws, x) for x in xs]
-        if tag not in caps_q[0] or "xq" not in caps_q[0][tag]:
-            continue  # tag never quantized in this graph
+        # sequential/asymmetric reconstruction). The current tag's xq/sx is
+        # extracted per batch INSIDE the loop — holding every quantized
+        # conv's captured int8 input for ALL batches simultaneously is
+        # multi-GB at realistic calibration sizes; this bounds residency to
+        # one batch's full capture at a time (the same one-launch-footprint
+        # discipline the float-target captures below apply).
+        x_hat_parts = []
+        for x in xs:
+            c = _cap_quant(work_p, ws, x)
+            if tag not in c or "xq" not in c[tag]:
+                x_hat_parts = None
+                break  # tag never quantized in this graph
+            x_hat_parts.append(
+                c[tag]["xq"].astype(jnp.float32) * c[tag]["sx"]
+            )
+            del c  # free the other ~L tags' captures for this batch
+        if x_hat_parts is None:
+            continue
         stride, groups = meta[tag]["stride"], meta[tag]["groups"]
         act = meta[tag]["act"]
-        x_hat = jnp.concatenate(
-            [
-                c[tag]["xq"].astype(jnp.float32) * c[tag]["sx"]
-                for c in caps_q
-            ]
-        )
-        del caps_q  # free the other ~L tags' captures before optimizing
+        x_hat = jnp.concatenate(x_hat_parts)
+        del x_hat_parts
         # float targets re-captured per layer and extracted immediately:
         # holding every conv's float output for every batch for the whole
         # run is multi-GB at realistic calibration sizes (the capture-all

@@ -175,54 +175,76 @@ def qat_finetune(
     # engine.p; pass the PRE-adaround params when composing with adaround
     # (which rewrites engine.p on-grid), so distillation still targets the
     # true float model (Detector.quantize wires this).
+    if teacher_params is None:
+        teacher_params = engine.p
+
+    # jit hygiene (same rule adaround documents): every large array —
+    # calibration batches, teacher head maps, teacher params — is passed
+    # as a traced ARGUMENT, never closed over. Closure constants are
+    # serialized into the compiled program, which the remote-TPU compile
+    # relay rejects (HTTP 413) once captures reach tens of MB; at
+    # production calibration sizes (bs128@640 f32 ≈ 600 MB/batch) a
+    # closure here would fail on the real target even though CPU tests
+    # pass. _cast_like_orig closes over dtypes only (static, not arrays).
     @jax.jit
-    def teacher(x):
-        out = engine._forward(x, "float", params=teacher_params)
+    def teacher(x, tp):
+        out = engine._forward(x, "float", params=tp)
         return {
             k: jax.lax.stop_gradient(out[k].astype(jnp.float32)) for k in keys
         }
 
-    ts = [teacher(x) for x in xs]
+    ts = [teacher(x, teacher_params) for x in xs]
 
     def _loss_terms(out, t):
         return head_map_loss(out, t, keys)
 
+    orig_dtypes = jax.tree.map(lambda a: a.dtype, orig)
+
     def _cast_like_orig(params):
         return jax.tree.map(
-            lambda new, old: new.astype(old.dtype), params, orig
+            lambda new, dt: new.astype(dt), params, orig_dtypes
         )
 
     @jax.jit
-    def full_loss(params):
+    def _full_loss_jit(params, xs_t, ts_t):
         # selection metric: the REAL int8 forward (weights quantize inside
         # the trace from the candidate params), not the STE simulation.
         # Cast to the engine's original param dtypes first — the winning
         # candidate is installed cast, so select on exactly what will serve.
         params = _cast_like_orig(params)
         tot = jnp.float32(0.0)
-        for x, t in zip(xs, ts):
+        for x, t in zip(xs_t, ts_t):
             tot = tot + _loss_terms(
                 engine._forward(x, "quant", params=params), t
             )
-        return tot / len(xs)
+        return tot / len(xs_t)
 
-    def _collect_means(mode, params):
+    def full_loss(params):
+        return _full_loss_jit(params, tuple(xs), tuple(ts))
+
+    def _collect_means(mode, params, xs_t):
         out: Dict[str, Any] = {}
-        for x in xs:
+        for x in xs_t:
             engine._bc_collector = {}
             engine._forward(x, mode, params=params)
             col, engine._bc_collector = engine._bc_collector, None
             for tag, v in col.items():
-                out[tag] = out.get(tag, jnp.float32(0.0)) + v / len(xs)
+                out[tag] = out.get(tag, jnp.float32(0.0)) + v / len(xs_t)
         return out
 
     @jax.jit
-    def means_float():
-        return _collect_means("float", teacher_params)
+    def _means_float_jit(tp, xs_t):
+        return _collect_means("float", tp, xs_t)
 
     @jax.jit
+    def _means_quant_jit(params, xs_t):
+        return _collect_means("quant", _cast_like_orig(params), xs_t)
+
+    def means_float():
+        return _means_float_jit(teacher_params, tuple(xs))
+
     def means_quant(params):
-        return _collect_means("quant", _cast_like_orig(params))
+        return _means_quant_jit(params, tuple(xs))
 
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), orig)
     first = float(full_loss(params))
