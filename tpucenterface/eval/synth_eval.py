@@ -1,0 +1,97 @@
+"""WIDER-protocol AP over in-memory records (synthetic flagship eval).
+
+Shared by cli.train_flagship and the integration tests: runs the full
+product path (device letterbox -> forward -> decode -> inverse transform)
+per record and scores it with the official-protocol machinery in
+eval.wider_eval. Difficulty splits follow WIDER's convention in spirit:
+membership by face size, with out-of-split GT treated as ignore regions
+(SURVEY.md §2 C11).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from tpucenterface.data.wider import WiderImage
+from tpucenterface.eval.wider_eval import evaluate_detections
+
+# (name, min face side in ORIGINAL pixels): easy = big faces only,
+# hard = everything valid. A face outside the split (or flagged invalid)
+# is an ignore region — detections covering it are neither TP nor FP.
+DEFAULT_SPLITS: Tuple[Tuple[str, float], ...] = (
+    ("easy", 50.0),
+    ("medium", 25.0),
+    ("hard", 0.0),
+)
+
+
+def ap_on_records(
+    det,
+    records: Sequence[WiderImage],
+    size: Optional[int] = None,
+    score_thresh: float = 0.02,
+    splits: Tuple[Tuple[str, float], ...] = DEFAULT_SPLITS,
+    batch: int = 16,
+) -> Dict[str, float]:
+    """AP per difficulty split for `det` (a Detector) over `records`.
+
+    Images are loaded from record paths, letterboxed device-side at `size`
+    (det.config.default_size when None). Batched via detect_batch over
+    host-padded images of one shape per call for device efficiency.
+    """
+    dets: List[np.ndarray] = []
+    gts: List[np.ndarray] = []
+    sides: List[np.ndarray] = []
+    valid: List[np.ndarray] = []
+
+    # ONE canvas shape for the whole eval: every image zero-padded to the
+    # global max padded (H, W). The device letterbox scales from the true
+    # per-image (h, w), so results match per-image dispatch exactly while
+    # the TPU compiles exactly one batched program (mixed raw shapes would
+    # otherwise cost one multi-minute compile per (batch, Hp, Wp)).
+    from tpucenterface.config import INPUT_PAD_MULTIPLE
+
+    imgs: List[np.ndarray] = []
+    hws: List[Tuple[int, int]] = []
+    for rec in records:
+        img = cv2.imread(rec.path)
+        if img is None:
+            raise FileNotFoundError(rec.path)
+        hws.append(img.shape[:2])
+        imgs.append(img)
+    m = INPUT_PAD_MULTIPLE
+    hp = max(-(-h // m) * m for h, _ in hws)
+    wp = max(-(-w // m) * m for _, w in hws)
+
+    results: Dict[int, np.ndarray] = {}
+    for s in range(0, len(records), batch):
+        chunk = list(range(s, min(s + batch, len(records))))
+        stack = np.zeros((batch, hp, wp, 3), np.uint8)
+        chw = np.full((batch, 2), (hp, wp), np.int32)
+        for j, i in enumerate(chunk):
+            h, w = hws[i]
+            stack[j, :h, :w] = imgs[i]
+            chw[j] = (h, w)
+        outs = det.detect_batch(
+            stack, hws=chw, score_thresh=score_thresh, size=size
+        )
+        for j, i in enumerate(chunk):  # dummy pad rows beyond chunk dropped
+            d = outs[j]
+            results[i] = np.concatenate(
+                [d.boxes.reshape(-1, 4), d.scores.reshape(-1, 1)], axis=1
+            )
+
+    for i, rec in enumerate(records):
+        dets.append(results[i])
+        gts.append(rec.xyxy.astype(np.float64))
+        sides.append(rec.boxes[:, 2:4].min(axis=1))
+        valid.append(~rec.invalid)
+
+    out: Dict[str, float] = {}
+    for name, min_side in splits:
+        keeps = [v & (s >= min_side) for v, s in zip(valid, sides)]
+        out[name] = evaluate_detections(dets, gts, keeps)
+    return out
