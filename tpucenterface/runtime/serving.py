@@ -490,6 +490,7 @@ class ServingEngine:
             ),
             "latency_ms_p50": pct(0.50),
             "latency_ms_p95": pct(0.95),
+            "latency_ms_p99": pct(0.99),
             "latency_ms_max": round(lat[-1], 2) if lat else None,
         }
 
