@@ -853,3 +853,21 @@ def test_stats_p99_field(det):
     for k in ("latency_ms_p50", "latency_ms_p95", "latency_ms_p99"):
         assert s[k] is not None and s[k] > 0
     assert s["latency_ms_p50"] <= s["latency_ms_p95"] <= s["latency_ms_p99"]
+
+
+def test_slo_sweep_harness(det):
+    """bench/slo_sweep.py end-to-end at toy scale: the table carries
+    saturation, a lone-request floor, and per-load percentiles."""
+    from tpucenterface.bench.slo_sweep import slo_sweep
+
+    out = slo_sweep(
+        det, HW, request_bs=4, device_batch=8,
+        fractions=(0.5,), seconds=1.5, max_dets=None,
+    )
+    assert out["saturation_img_s"] > 0
+    lone = out["lone_request"]
+    assert lone["p50_ms"] <= lone["p95_ms"] <= lone["p99_ms"]
+    (pt,) = out["loaded"]
+    assert pt["load_frac"] == 0.5 and pt["achieved_requests"] >= 1
+    for k in ("p50_ms", "p95_ms", "p99_ms"):
+        assert pt[k] is not None and pt[k] > 0
