@@ -5,7 +5,15 @@ the 25.3 ms lives": "Further headroom = Pallas conv-with-int8-epilogue,
 still open but high-effort/high-risk"). The target op is block_0's 1x1
 PROJECT at high resolution (32->16ch @320^2), the single most
 floor-distant fusion in the program: HBM-bound, so int8 activations halve
-its traffic, IF a kernel can stream at the measured ~1.3 TB/s.
+its traffic, IF a kernel can stream near the chip's measured elementwise
+rate (~620-710 GB/s read+write with the chained-slope method; the r3
+"1.3 TB/s" figure was a FIFO-timing artifact — see timing.py
+chain_op_time_ms).
+
+Measured result (v5e, 2026-08-19): pallas 2.73 ms vs XLA-same-layout
+3.18 ms vs 1.40 ms stream floor — the kernel wins 14% like-for-like and
+sits at 1.95x floor; the residual is the VPU-bound requant epilogue
+(~6 f32 ops x 436M elements ~ 2.7 ms at the VPU's ~1 T elem-op/s).
 
 Probe discipline (same as ledger #1-#25): measure the KERNEL'S BEST CASE —
 inputs already in the kernel's preferred planar (B, C, P) int8 layout with
@@ -76,14 +84,13 @@ def run_probe(
     cin: int = 32,
     cout: int = 16,
     pblk: int = 8192,
-    iters: int = 30,
     passes: int = 3,
 ) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from tpucenterface.bench.timing import fifo_ips_passes, median_spread
+    from tpucenterface.bench.timing import chain_op_time_ms, median_spread
 
     npix = hw * hw
     npix_pad = -(-npix // pblk) * pblk
@@ -99,11 +106,11 @@ def run_probe(
     )
     bias = jnp.asarray(rng.rand(cout_pad, 1).astype(np.float32))
 
-    pallas_fn = jax.jit(
-        make_pallas_conv1x1_int8(batch, cin, cout_pad, npix_pad, pblk)
-    )
+    raw_pallas = make_pallas_conv1x1_int8(batch, cin, cout_pad, npix_pad, pblk)
 
-    @jax.jit
+    def pallas_fn(w, scale, bias, x):
+        return raw_pallas(w, scale, bias, x)
+
     def xla_fn(w, scale, bias, x):
         acc = jax.lax.dot_general(
             w, x, (((1,), (1,)), ((), ())),
@@ -116,18 +123,27 @@ def run_probe(
 
     # correctness first (a small kernel instance built for the check shape)
     small = jax.jit(make_pallas_conv1x1_int8(2, cin, cout_pad, pblk, pblk))
-    ref = np.asarray(xla_fn(w, scale, bias, x[:2, :, :pblk]))
+    ref = np.asarray(jax.jit(xla_fn)(w, scale, bias, x[:2, :, :pblk]))
     got = np.asarray(small(w, scale, bias, x[:2, :, :pblk]))
     np.testing.assert_array_equal(got, ref)
 
-    def time_fn(fn):
-        # reuse the canonical FIFO method ((im, hw)-shaped wrapper; "batch"
-        # = 1 launch, so the returned rate is launches/s -> invert to ms)
-        fn2 = lambda im, _hw: fn(w, scale, bias, im)  # noqa: E731
-        vals = fifo_ips_passes(fn2, x, None, 1, iters, passes)
-        med, spread = median_spread(vals, ndigits=6)
-        return 1e3 / med, [1e3 / spread[1], 1e3 / spread[0]]
+    # Timing: chained-carry slope (timing.py chain_op_time_ms) — the FIFO
+    # method's ~1 ms/launch dispatch overhead would dominate these ~1-3 ms
+    # ops, and the scalar-sum slope method lets XLA dead-code the store.
+    # The conv's in/out shapes match (cout_pad == cin), so the output
+    # chains directly into the next iteration's input.
+    assert cout_pad == cin, "chain timing needs out shape == in shape"
 
+    def time_fn(fn):
+        vals = [
+            chain_op_time_ms(lambda c: fn(w, scale, bias, c), x)
+            for _ in range(passes)
+        ]
+        med, spread = median_spread(vals, ndigits=6)
+        return med, [spread[0], spread[1]]
+
+    # measured streaming floor: an elementwise pass over identical traffic
+    t_stream, _ = time_fn(lambda w, s, b, c: c + jnp.int8(1))
     t_pallas, sp_pallas = time_fn(pallas_fn)
     t_xla, sp_xla = time_fn(xla_fn)
 
@@ -135,11 +151,12 @@ def run_probe(
         x.size + batch * cout_pad * npix_pad + w.size
         + scale.size * 4 + bias.size * 4
     ) / 1e9
-    floor_ms = gbytes / 1.3  # measured effective HBM TB/s
+    floor_ms = t_stream  # measured elementwise floor at identical traffic
     return {
         "shape": f"({batch},{cin},{npix_pad}) -> ({batch},{cout_pad},{npix_pad}) int8",
         "traffic_gb": round(gbytes, 3),
-        "hbm_floor_ms": round(floor_ms, 3),
+        "stream_floor_ms": round(t_stream, 3),
+        "stream_gbps": round(gbytes / t_stream * 1e3, 0),
         "pallas_ms": round(t_pallas, 3),
         "pallas_spread_ms": [round(v, 3) for v in sp_pallas],
         "xla_ms": round(t_xla, 3),
@@ -158,11 +175,10 @@ def main(argv=None):
     p.add_argument("--cin", type=int, default=32)
     p.add_argument("--cout", type=int, default=16)
     p.add_argument("--pblk", type=int, default=8192)
-    p.add_argument("--iters", type=int, default=30)
     args = p.parse_args(argv)
     print(json.dumps(run_probe(
         batch=args.batch, hw=args.hw, cin=args.cin, cout=args.cout,
-        pblk=args.pblk, iters=args.iters,
+        pblk=args.pblk,
     ), indent=1))
 
 

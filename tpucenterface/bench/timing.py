@@ -59,6 +59,56 @@ def op_time_ms(
     return max((t_hi - t_lo) / (hi - lo) * 1e3, 0.0)
 
 
+def chain_op_time_ms(
+    op: Callable,
+    x,
+    k_pair: Sequence[int] = (4, 16),
+    reps: int = 3,
+) -> float:
+    """Per-call device time (ms) of a SAME-shape/dtype `op(x) -> y`, by
+    chaining the output into the next iteration's input inside one jitted
+    fori_loop and fitting time-vs-K.
+
+    Why a second slope method exists: `op_time_ms` keeps the loop body live
+    via a scalar-sum carry, so XLA fuses the reduction into the op and the
+    full output is never WRITTEN to HBM — correct for compute-bound ops,
+    but it under-counts streaming ops by their entire write traffic (and a
+    sliced sum lets XLA dead-code the op wholesale). Carrying the full
+    array forces the real read+write each iteration. Measured calibration
+    on v5e (2026-08-19): elementwise int8/f32 adds land at 636-713 GB/s
+    with this method — consistent with the 819 GB/s HBM nameplate — where
+    the FIFO method reports 100-450 GB/s (its ~0.8-1.1 ms per-launch
+    dispatch overhead dominates ms-scale ops) and the scalar-sum slope
+    reports impossible TB/s (DCE). Use FIFO for >10 ms serving programs,
+    this for micro-op probes.
+    """
+    import numpy as np
+
+    def make(k):
+        @jax.jit
+        def run(x):
+            return jax.lax.fori_loop(0, k, lambda i, c: op(c), x)
+        return run
+
+    lo, hi = k_pair
+    run_lo, run_hi = make(lo), make(hi)
+
+    def fetch1(r):
+        np.asarray(r.reshape(-1)[:1])  # bound completion, 1-elem transfer
+
+    fetch1(run_lo(x))  # compile
+    fetch1(run_hi(x))
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        fetch1(fn(x))
+        return time.perf_counter() - t0
+
+    t_lo = min(timed(run_lo) for _ in range(reps))
+    t_hi = min(timed(run_hi) for _ in range(reps))
+    return max((t_hi - t_lo) / (hi - lo) * 1e3, 0.0)
+
+
 def _timed(fn, args) -> float:
     t0 = time.perf_counter()
     float(fn(*args))
