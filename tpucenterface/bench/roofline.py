@@ -8,11 +8,21 @@ TB/s, %-of-roofline — so `bench.py` can publish them as machine-checkable
 JSON fields and a regression hiding inside the conv section moves a
 number instead of needing a human to re-read a trace.
 
-Peaks are the MEASURED ones from PERFORMANCE.md's calibration runs on this
-v5e chip (8192^3 matmul -> 190 TFLOP/s bf16; int8 MXU 350 TOPS; big copy
--> ~1.3 TB/s effective HBM), not datasheet numbers: MFU/roofline fractions
-here answer "how close to what THIS chip demonstrably does", which is the
-regression-tracking question.
+Peaks are the MEASURED ones from calibration runs on this v5e chip
+(8192^3 matmul -> 190 TFLOP/s bf16 via the scalar-carry slope method,
+sound for compute-bound ops; int8 MXU 350 TOPS; elementwise read+write
+streaming -> 0.65 TB/s via timing.py chain_op_time_ms), not datasheet
+numbers: MFU/roofline fractions here answer "how close to what THIS chip
+demonstrably does", which is the regression-tracking question.
+
+HONESTY CORRECTION (r4): the r3 value of this module's HBM peak was
+"1.3 TB/s measured effective" — impossible (the v5e datasheet rate is
+0.819 TB/s) and traced to two timing artifacts: the FIFO method's ~1 ms
+per-launch tunnel dispatch overhead, and a multi-MB out-slice fetched
+through the relay inside the timed window. The chained-carry slope method
+measures 620-710 GB/s across int8/f32 shapes (76-87%% of nameplate);
+0.65 TB/s is the round number this module now normalizes against, so
+hbm_frac readings are ~2x the r3 values for identical programs.
 """
 
 from __future__ import annotations
@@ -22,7 +32,7 @@ from typing import Dict, List, Optional, Sequence
 # Measured on the target v5e chip (PERFORMANCE.md "timing" calibration):
 MEASURED_BF16_TFLOPS = 190.0   # 8192^3 bf16 matmul, loop-slope method
 MEASURED_INT8_TOPS = 350.0     # lone int8 conv vs bf16 ratio x bf16 peak
-MEASURED_HBM_TBPS = 1.3        # large device copy, effective
+MEASURED_HBM_TBPS = 0.65       # elementwise read+write, chain-slope method
 
 
 def summarize_rows(
