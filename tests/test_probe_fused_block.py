@@ -84,3 +84,63 @@ def test_dw_f32_macs_match_int32():
         .astype(np.float32).sum(axis=0, dtype=np.float32)
     )
     np.testing.assert_array_equal(acc_i, acc_f.astype(np.int64))
+
+
+class TestStride1Residual:
+    B, CIN, CMID, HW, ROW_BAND = 2, 24, 48, 16, 4
+    COUT_PAD = 32
+
+    def _setup(self):
+        from tpucenterface.bench.probe_fused_block import make_params
+        prm = make_params(self.CIN, self.CMID, self.COUT_PAD, seed=5)
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(
+            rng.rand(self.B, self.CIN, self.HW * self.HW)
+            .astype(np.float32) * 4 - 2
+        ).astype(jnp.bfloat16)
+        inv_se = jnp.asarray(np.array([[37.5]], np.float32))
+        args = [inv_se] + [jnp.asarray(prm[k]) for k in (
+            "we", "e_scale", "e_bias", "e_inv_sdw", "wd", "d_scale",
+            "d_bias", "d_inv_sproj", "wp", "p_scale", "p_bias")]
+        return prm, x, args
+
+    def test_s1_kernel_matches_ref(self):
+        from tpucenterface.bench.probe_fused_block import (
+            fused_block_s1_ref, make_fused_block_s1_kernel, pad_bands)
+        prm, x, args = self._setup()
+        xp = pad_bands(x, self.HW, self.ROW_BAND,
+                       halo_lo=2 * self.HW, halo_hi=2 * self.HW)
+        ker = make_fused_block_s1_kernel(
+            self.B, self.CIN, self.CMID, self.HW, self.ROW_BAND,
+            interpret=True)
+        got = np.asarray(ker(*args, xp).astype(jnp.float32))
+        ref = np.asarray(fused_block_s1_ref(
+            x, *args, hw=self.HW).astype(jnp.float32))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_s1_ref_matches_nhwc_chain(self):
+        from tpucenterface.bench.probe_fused_block import (
+            fused_block_s1_ref, xla_nhwc_chain_s1)
+        prm, x, args = self._setup()
+        ref = np.asarray(fused_block_s1_ref(
+            x, *args, hw=self.HW).astype(jnp.float32))
+        x_nhwc = jnp.asarray(
+            np.moveaxis(np.asarray(x.astype(jnp.float32)), 1, 2)
+            .reshape(self.B, self.HW, self.HW, self.CIN)
+        ).astype(jnp.bfloat16)
+        we_hwio = jnp.asarray(prm["we"]).T.reshape(1, 1, self.CIN, self.CMID)
+        wd_hwio = jnp.asarray(
+            prm["wd"].reshape(3, 3, 1, self.CMID).astype(np.int8))
+        wp_hwio = jnp.asarray(prm["wp"]).T.reshape(
+            1, 1, self.CMID, self.COUT_PAD)
+        bc = lambda v: jnp.asarray(v.reshape(1, 1, 1, -1))  # noqa: E731
+        chain = xla_nhwc_chain_s1(self.CIN, self.CMID, self.COUT_PAD)
+        co = np.asarray(chain(
+            x_nhwc, jnp.float32(37.5), we_hwio, bc(prm["e_scale"]),
+            bc(prm["e_bias"]), bc(prm["e_inv_sdw"]), wd_hwio,
+            bc(prm["d_scale"]), bc(prm["d_bias"]), bc(prm["d_inv_sproj"]),
+            wp_hwio, bc(prm["p_scale"]), bc(prm["p_bias"]),
+        ).astype(jnp.float32))
+        chain_planar = np.moveaxis(
+            co.reshape(self.B, self.HW * self.HW, self.COUT_PAD), 2, 1)
+        np.testing.assert_array_equal(ref, chain_planar)

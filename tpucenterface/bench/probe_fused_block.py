@@ -268,7 +268,8 @@ def make_fused_block_kernel(
     )
 
 
-def pad_bands(x_planar, hw_out: int, row_band: int):
+def pad_bands(x_planar, hw_out: int, row_band: int,
+              halo_lo=None, halo_hi: int = 0):
     """Overlap-pad the planar input so band blocks of p_band lanes starting
     at j*p_band each SEE their one-halo-row-above: block j must cover flat
     lanes [j*p_band - hw_out, j*p_band + p_band). With disjoint-block
@@ -289,17 +290,187 @@ def pad_bands(x_planar, hw_out: int, row_band: int):
     b, c4, p = x_planar.shape
     n_bands = (p // hw_out) // row_band
     p_band = row_band * hw_out
-    halo = 2 * hw_out
+    if halo_lo is None:
+        halo_lo = 2 * hw_out
     chunks = []
     for j in range(n_bands):
-        lo = j * p_band - halo
-        if lo < 0:
-            pad = jnp.zeros((b, c4, -lo), x_planar.dtype)
-            chunks.append(jnp.concatenate(
-                [pad, x_planar[:, :, :p_band + halo + lo]], axis=2))
-        else:
-            chunks.append(x_planar[:, :, lo:lo + p_band + halo])
+        lo = j * p_band - halo_lo
+        hi = j * p_band + p_band + halo_hi
+        pre = max(0, -lo)
+        post = max(0, hi - p)
+        body = x_planar[:, :, max(0, lo):min(p, hi)]
+        parts = []
+        if pre:
+            parts.append(jnp.zeros((b, c4, pre), x_planar.dtype))
+        parts.append(body)
+        if post:
+            parts.append(jnp.zeros((b, c4, post), x_planar.dtype))
+        chunks.append(jnp.concatenate(parts, axis=2) if len(parts) > 1
+                      else body)
     return jnp.concatenate(chunks, axis=2)
+
+
+def make_fused_block_s1_kernel(
+    b: int, cin: int, cmid: int, hw: int, row_band: int = 20,
+    residual: bool = True, interpret: bool = False,
+):
+    """Stride-1 fused MBConv (block_2 shape): bf16 planar input -> quantize
+    at the expand scale in VMEM -> expand -> 3x3/s1 dw -> project -> bf16
+    out (+ residual). cout == cin (residual blocks); grid (B, n_bands).
+
+    The 3x3/s1 dw reads the SAME plane at 9 shifts ((di-1)*hw + (dj-1));
+    the band needs one halo row above AND below, supplied by pad_bands
+    (halo_lo=2*hw, halo_hi=hw+1 rounded up to 2*hw for tap-start margin).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p_band = row_band * hw
+    n_bands = hw // row_band
+    assert hw % row_band == 0
+    halo_lo = 2 * hw
+    halo_hi = 2 * hw
+    p_blk = p_band + halo_lo + halo_hi
+    cout_pad = max(32, cin)
+
+    def kernel(inv_se_r, we_r, es_r, eb_r, ei_r, wd_r, ds_r, db_r, di_r,
+               wp_r, ps_r, pb_r, x_r, out_r):
+        band = pl.program_id(1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, p_band), 1) % hw
+        rowg = jax.lax.broadcasted_iota(jnp.int32, (1, p_band), 1) // hw
+        grow = rowg + band * row_band
+        masks = {
+            (-1, 0): grow == 0, (1, 0): grow == hw - 1,
+            (0, -1): col == 0, (0, 1): col == hw - 1,
+        }
+
+        # quantize the bf16 input at the expand scale (scalar), in VMEM
+        xf = x_r[0].astype(jnp.float32)
+        xq = jnp.clip(jnp.round(xf * inv_se_r[0, 0]), -127.0, 127.0)
+
+        acc = jax.lax.dot_general(
+            we_r[:], xq.astype(jnp.int8), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (Cmid, p_blk)
+        y = acc.astype(jnp.float32) * es_r[:] + eb_r[:]
+        y = jnp.clip(y, 0.0, 6.0)
+        e = jnp.clip(jnp.round(y * ei_r[:]), -127.0, 127.0)
+
+        accd = jnp.zeros((cmid, p_band), jnp.float32)
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                start = halo_lo + di * hw + dj
+                t = jax.lax.dynamic_slice(e, (0, start), (cmid, p_band))
+                if di:
+                    t = jnp.where(masks[(di, 0)], 0.0, t)
+                if dj:
+                    t = jnp.where(masks[(0, dj)], 0.0, t)
+                w_tap = wd_r[(di + 1) * 3 + (dj + 1), :][:, None]
+                accd = accd + w_tap * t
+        yd = accd * ds_r[:] + db_r[:]
+        yd = jnp.clip(yd, 0.0, 6.0)
+        qd = jnp.clip(jnp.round(yd * di_r[:]), -127.0, 127.0)
+
+        accp = jax.lax.dot_general(
+            wp_r[:], qd.astype(jnp.int8), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        yp = accp * ps_r[:] + pb_r[:]
+        if residual:
+            xc = jax.lax.dynamic_slice(xf, (0, halo_lo), (cin, p_band))
+            if cout_pad > cin:  # residual only on the real channels
+                xc = jnp.pad(xc, ((0, cout_pad - cin), (0, 0)))
+            yp = yp + xc
+        out_r[0] = yp.astype(jnp.bfloat16)
+
+    grid = (b, n_bands)
+    c_spec = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0))  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            c_spec((1, 1)),                 # inv expand act scale (scalar)
+            c_spec((cmid, cin)),            # we
+            c_spec((cmid, 1)),              # e_scale
+            c_spec((cmid, 1)),              # e_bias
+            c_spec((cmid, 1)),              # e_inv_sdw (per-channel)
+            c_spec((9, cmid)),              # wd tap-major f32
+            c_spec((cmid, 1)),              # d_scale
+            c_spec((cmid, 1)),              # d_bias
+            c_spec((cmid, 1)),              # d_inv_sproj
+            c_spec((cout_pad, cmid)),       # wp
+            c_spec((cout_pad, 1)),          # p_scale
+            c_spec((cout_pad, 1)),          # p_bias
+            pl.BlockSpec((1, cin, p_blk), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cout_pad, p_band), lambda i, j: (i, 0, j)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, cout_pad, hw * hw), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+
+
+def fused_block_s1_ref(
+    x_planar,  # (B, Cin, P) bf16
+    inv_se, we, e_scale, e_bias, e_inv_sdw,
+    wd, d_scale, d_bias, d_inv_sproj,
+    wp, p_scale, p_bias,
+    hw: int, residual: bool = True,
+):
+    """jnp reference of the s1 fused block (planar, 9-shift dw)."""
+    import jax
+    import jax.numpy as jnp
+
+    cmid = we.shape[0]
+    p = x_planar.shape[-1]
+    col = jnp.arange(p, dtype=jnp.int32) % hw
+    row = jnp.arange(p, dtype=jnp.int32) // hw
+
+    def one(img):
+        xf = img.astype(jnp.float32)
+        xq = jnp.clip(jnp.round(xf * inv_se[0, 0]), -127.0, 127.0)
+        acc = jax.lax.dot_general(
+            we, xq.astype(jnp.int8), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = jnp.clip(acc.astype(jnp.float32) * e_scale + e_bias, 0.0, 6.0)
+        e = jnp.clip(jnp.round(y * e_inv_sdw), -127.0, 127.0)
+        accd = jnp.zeros((cmid, p), jnp.float32)
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                t = jnp.roll(e, -(di * hw + dj), axis=1)
+                if di == -1:
+                    t = jnp.where((row == 0)[None, :], 0.0, t)
+                if di == 1:
+                    t = jnp.where((row == hw - 1)[None, :], 0.0, t)
+                if dj == -1:
+                    t = jnp.where((col == 0)[None, :], 0.0, t)
+                if dj == 1:
+                    t = jnp.where((col == hw - 1)[None, :], 0.0, t)
+                w_tap = wd.reshape(3, 3, cmid)[di + 1, dj + 1][:, None]
+                accd = accd + w_tap * t
+        yd = jnp.clip(accd * d_scale + d_bias, 0.0, 6.0)
+        qd = jnp.clip(jnp.round(yd * d_inv_sproj), -127.0, 127.0)
+        accp = jax.lax.dot_general(
+            wp, qd.astype(jnp.int8), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        yp = accp * p_scale + p_bias
+        if residual:
+            cout_pad = wp.shape[0]
+            cin_ = xf.shape[0]
+            xr = (jnp.pad(xf, ((0, cout_pad - cin_), (0, 0)))
+                  if cout_pad > cin_ else xf)
+            yp = yp + xr
+        return yp.astype(jnp.bfloat16)
+
+    return jax.vmap(one)(x_planar)
 
 
 def xla_nhwc_chain(cin: int, cmid: int, cout: int):
@@ -330,6 +501,139 @@ def xla_nhwc_chain(cin: int, cmid: int, cout: int):
         return jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
 
     return fn
+
+
+def xla_nhwc_chain_s1(cin: int, cmid: int, cout: int,
+                      residual: bool = True):
+    """NHWC form of the s1 block: quantize bf16 input -> expand -> dw/s1 ->
+    project -> bf16 (+ residual) — the serving program's per-block shape."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(x_nhwc, inv_se, we_hwio, e_scale, e_bias, e_inv_sdw,
+           wd_hwio, d_scale, d_bias, d_inv_sproj,
+           wp_hwio, p_scale, p_bias):
+        def conv(x, k, groups):
+            return jax.lax.conv_general_dilated(
+                x, k, (1, 1),
+                [(1, 1), (1, 1)] if k.shape[0] == 3 else [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=groups,
+                preferred_element_type=jnp.int32,
+            )
+        xf = x_nhwc.astype(jnp.float32)
+        xq = jnp.clip(jnp.round(xf * inv_se), -127.0, 127.0).astype(jnp.int8)
+        y = conv(xq, we_hwio, 1).astype(jnp.float32)
+        y = jnp.clip(y * e_scale + e_bias, 0.0, 6.0)
+        q = jnp.clip(jnp.round(y * e_inv_sdw), -127.0, 127.0).astype(jnp.int8)
+        y = conv(q, wd_hwio, cmid).astype(jnp.float32)
+        y = jnp.clip(y * d_scale + d_bias, 0.0, 6.0)
+        q = jnp.clip(jnp.round(y * d_inv_sproj), -127.0, 127.0).astype(jnp.int8)
+        y = conv(q, wp_hwio, 1).astype(jnp.float32)
+        y = y * p_scale + p_bias
+        if residual:
+            cpad = y.shape[-1]
+            xr = (jnp.pad(xf, ((0, 0),) * 3 + ((0, cpad - cin),))
+                  if cpad > cin else xf)
+            y = y + xr
+        return y.astype(jnp.bfloat16)
+
+    return fn
+
+
+def run_probe_s1(
+    batch: int = 128, hw: int = 160, cin: int = 24, cmid: int = 144,
+    row_band: int = 20, passes: int = 3,
+) -> dict:
+    """Device probe of the s1 fused block at block_2 scale vs the XLA NHWC
+    chain. Same dep-chained timing as run_probe."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpucenterface.bench.timing import median_spread
+
+    cout_pad = 32
+    prm = make_params(cin, cmid, cout_pad, seed=7)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(
+        (rng.rand(batch, cin, hw * hw).astype(np.float32) * 4 - 2)
+    ).astype(jnp.bfloat16)
+    inv_se = jnp.asarray(np.array([[37.5]], np.float32))
+    args = [inv_se] + [jnp.asarray(prm[k]) for k in (
+        "we", "e_scale", "e_bias", "e_inv_sdw", "wd", "d_scale", "d_bias",
+        "d_inv_sproj", "wp", "p_scale", "p_bias",
+    )]
+    xp_pad = pad_bands(x, hw, row_band, halo_lo=2 * hw, halo_hi=2 * hw)
+    fused = make_fused_block_s1_kernel(batch, cin, cmid, hw, row_band)
+
+    # correctness on 2 images (device)
+    small = make_fused_block_s1_kernel(2, cin, cmid, hw, row_band)
+    got = np.asarray(jax.jit(small)(*args, xp_pad[:2]).astype(jnp.float32))
+    ref = np.asarray(jax.jit(
+        fused_block_s1_ref, static_argnames=("hw", "residual")
+    )(x[:2], *args, hw=hw).astype(jnp.float32))
+    np.testing.assert_array_equal(got, ref)
+
+    # NHWC chain args
+    x_nhwc = jnp.asarray(
+        np.moveaxis(np.asarray(x.astype(jnp.float32)), 1, 2).reshape(
+            batch, hw, hw, cin)
+    ).astype(jnp.bfloat16)
+    we_hwio = jnp.asarray(prm["we"]).T.reshape(1, 1, cin, cmid)
+    wd_hwio = jnp.asarray(prm["wd"].reshape(3, 3, 1, cmid).astype(np.int8))
+    wp_hwio = jnp.asarray(prm["wp"]).T.reshape(1, 1, cmid, cout_pad)
+    bc = lambda v: jnp.asarray(v.reshape(1, 1, 1, -1))  # noqa: E731
+    nhwc_args = (
+        jnp.float32(37.5), we_hwio, bc(prm["e_scale"]), bc(prm["e_bias"]),
+        bc(prm["e_inv_sdw"]), wd_hwio, bc(prm["d_scale"]), bc(prm["d_bias"]),
+        bc(prm["d_inv_sproj"]), wp_hwio, bc(prm["p_scale"]), bc(prm["p_bias"]),
+    )
+    chain = xla_nhwc_chain_s1(cin, cmid, cout_pad)
+
+    def dep_time_ms(op, x, k_pair=(3, 9), reps=3):
+        def make(k):
+            @jax.jit
+            def run(x):
+                def body(i, c):
+                    out = op(c)
+                    s = jnp.sum(out.astype(jnp.float32))
+                    patch = c[:1, :1, :1] + (s * 1e-30).astype(c.dtype)
+                    return jax.lax.dynamic_update_slice(c, patch, (0, 0, 0))
+                return jax.lax.fori_loop(0, k, body, x)
+            return run
+        lo, hi = k_pair
+        run_lo, run_hi = make(lo), make(hi)
+        fetch = lambda r: np.asarray(  # noqa: E731
+            r.reshape(-1)[:1].astype(jnp.float32))
+        fetch(run_lo(x)); fetch(run_hi(x))
+        def timed(fn):
+            t0 = time.perf_counter(); fetch(fn(x))
+            return time.perf_counter() - t0
+        t_lo = min(timed(run_lo) for _ in range(reps))
+        t_hi = min(timed(run_hi) for _ in range(reps))
+        return max((t_hi - t_lo) / (hi - lo) * 1e3, 0.0)
+
+    def time_fn(op, xx):
+        vals = [dep_time_ms(op, xx) for _ in range(passes)]
+        return median_spread(vals, ndigits=6)
+
+    t_fused, sp_fused = time_fn(lambda c: fused(*args, c), xp_pad)
+    t_chain, sp_chain = time_fn(lambda c: chain(c, *nhwc_args), x_nhwc)
+
+    return {
+        "shape": (
+            f"s1 block: ({batch},{hw},{hw},{cin}) bf16 -> expand {cmid} -> "
+            f"dw3x3/s1 -> project -> +residual, bf16 out"
+        ),
+        "fused_ms": round(t_fused, 3),
+        "fused_spread_ms": [round(v, 3) for v in sp_fused],
+        "xla_chain_ms": round(t_chain, 3),
+        "xla_chain_spread_ms": [round(v, 3) for v in sp_chain],
+        "speedup_vs_xla": round(t_chain / t_fused, 2) if t_fused else None,
+    }
 
 
 def make_params(cin: int, cmid: int, cout_pad: int, seed: int = 0):
