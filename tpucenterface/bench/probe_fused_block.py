@@ -547,13 +547,11 @@ def run_probe_s1(
 ) -> dict:
     """Device probe of the s1 fused block at block_2 scale vs the XLA NHWC
     chain. Same dep-chained timing as run_probe."""
-    import time
-
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from tpucenterface.bench.timing import median_spread
+    from tpucenterface.bench.timing import dep_op_time_ms, median_spread
 
     cout_pad = 32
     prm = make_params(cin, cmid, cout_pad, seed=7)
@@ -593,31 +591,8 @@ def run_probe_s1(
     )
     chain = xla_nhwc_chain_s1(cin, cmid, cout_pad)
 
-    def dep_time_ms(op, x, k_pair=(3, 9), reps=3):
-        def make(k):
-            @jax.jit
-            def run(x):
-                def body(i, c):
-                    out = op(c)
-                    s = jnp.sum(out.astype(jnp.float32))
-                    patch = c[:1, :1, :1] + (s * 1e-30).astype(c.dtype)
-                    return jax.lax.dynamic_update_slice(c, patch, (0, 0, 0))
-                return jax.lax.fori_loop(0, k, body, x)
-            return run
-        lo, hi = k_pair
-        run_lo, run_hi = make(lo), make(hi)
-        fetch = lambda r: np.asarray(  # noqa: E731
-            r.reshape(-1)[:1].astype(jnp.float32))
-        fetch(run_lo(x)); fetch(run_hi(x))
-        def timed(fn):
-            t0 = time.perf_counter(); fetch(fn(x))
-            return time.perf_counter() - t0
-        t_lo = min(timed(run_lo) for _ in range(reps))
-        t_hi = min(timed(run_hi) for _ in range(reps))
-        return max((t_hi - t_lo) / (hi - lo) * 1e3, 0.0)
-
     def time_fn(op, xx):
-        vals = [dep_time_ms(op, xx) for _ in range(passes)]
+        vals = [dep_op_time_ms(op, xx) for _ in range(passes)]
         return median_spread(vals, ndigits=6)
 
     t_fused, sp_fused = time_fn(lambda c: fused(*args, c), xp_pad)
@@ -660,13 +635,11 @@ def run_probe(
     batch: int = 128, hw_in: int = 320, cin: int = 16, cmid: int = 96,
     cout: int = 24, row_band: int = 20, passes: int = 3,
 ) -> dict:
-    import time
-
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from tpucenterface.bench.timing import median_spread
+    from tpucenterface.bench.timing import dep_op_time_ms, median_spread
 
     hw_out = hw_in // 2
     cout_pad = max(32, cout)
@@ -713,33 +686,9 @@ def run_probe(
         chain_out.reshape(2, hw_out * hw_out, cout_pad), 2, 1)
     np.testing.assert_array_equal(got, chain_planar)
 
-    # -- timing: K-chained loop with a cheap data dependency --
-    def dep_time_ms(op, x, k_pair=(3, 9), reps=3):
-        def make(k):
-            @jax.jit
-            def run(x):
-                def body(i, c):
-                    out = op(c)
-                    s = jnp.sum(out.astype(jnp.float32))  # forces full out
-                    patch = (
-                        c[:1, :1, :1] + (s * 1e-30).astype(c.dtype)
-                    )
-                    return jax.lax.dynamic_update_slice(c, patch, (0, 0, 0))
-                return jax.lax.fori_loop(0, k, body, x)
-            return run
-        lo, hi = k_pair
-        run_lo, run_hi = make(lo), make(hi)
-        fetch = lambda r: np.asarray(r.reshape(-1)[:1])  # noqa: E731
-        fetch(run_lo(x)); fetch(run_hi(x))
-        def timed(fn):
-            t0 = time.perf_counter(); fetch(fn(x))
-            return time.perf_counter() - t0
-        t_lo = min(timed(run_lo) for _ in range(reps))
-        t_hi = min(timed(run_hi) for _ in range(reps))
-        return max((t_hi - t_lo) / (hi - lo) * 1e3, 0.0)
-
+    # timing: dep-chained slope (timing.py dep_op_time_ms)
     def time_fn(op, x):
-        vals = [dep_time_ms(op, x) for _ in range(passes)]
+        vals = [dep_op_time_ms(op, x) for _ in range(passes)]
         return median_spread(vals, ndigits=6)
 
     t_fused, sp_fused = time_fn(lambda c: fused(*args_planar, c), xp_pad)

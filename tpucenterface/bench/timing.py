@@ -109,6 +109,58 @@ def chain_op_time_ms(
     return max((t_hi - t_lo) / (hi - lo) * 1e3, 0.0)
 
 
+def dep_op_time_ms(
+    op: Callable,
+    x,
+    k_pair: Sequence[int] = (3, 9),
+    reps: int = 3,
+) -> float:
+    """Slope timing for ops whose output shape differs from the input's.
+
+    chain_op_time_ms needs out==in shapes; here each iteration's FULL
+    output is forced by a sum, and a provably-cheap data dependency (a
+    one-element dynamic_update_slice on the carried input) serializes
+    iterations without re-streaming the input. The sum adds one read pass
+    over the output — identical for every variant timed this way, so
+    comparisons are unbiased; absolute values are upper bounds by that
+    pass.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    def make(k):
+        @jax.jit
+        def run(x):
+            def body(i, c):
+                out = op(c)
+                s = jnp.sum(out.astype(jnp.float32))  # forces full out
+                idx = (0,) * c.ndim
+                patch = c[(slice(0, 1),) * c.ndim] + (s * 1e-30).astype(
+                    c.dtype
+                )
+                return jax.lax.dynamic_update_slice(c, patch, idx)
+            return jax.lax.fori_loop(0, k, body, x)
+        return run
+
+    lo, hi = k_pair
+    run_lo, run_hi = make(lo), make(hi)
+
+    def fetch1(r):
+        np.asarray(r.reshape(-1)[:1].astype(jnp.float32))
+
+    fetch1(run_lo(x))
+    fetch1(run_hi(x))
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        fetch1(fn(x))
+        return time.perf_counter() - t0
+
+    t_lo = min(timed(run_lo) for _ in range(reps))
+    t_hi = min(timed(run_hi) for _ in range(reps))
+    return max((t_hi - t_lo) / (hi - lo) * 1e3, 0.0)
+
+
 def _timed(fn, args) -> float:
     t0 = time.perf_counter()
     float(fn(*args))
