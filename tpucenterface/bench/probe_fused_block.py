@@ -723,11 +723,21 @@ def main(argv=None):
     p.add_argument("--cmid", type=int, default=96)
     p.add_argument("--cout", type=int, default=24)
     p.add_argument("--row-band", type=int, default=20)
+    p.add_argument("--s1", action="store_true",
+                   help="probe the stride-1 residual variant (block_2 "
+                   "shape: --hw-in is the block's OWN resolution)")
     args = p.parse_args(argv)
-    print(json.dumps(run_probe(
-        batch=args.batch, hw_in=args.hw_in, cin=args.cin, cmid=args.cmid,
-        cout=args.cout, row_band=args.row_band,
-    ), indent=1))
+    if args.s1:
+        out = run_probe_s1(
+            batch=args.batch, hw=args.hw_in, cin=args.cin, cmid=args.cmid,
+            row_band=args.row_band,
+        )
+    else:
+        out = run_probe(
+            batch=args.batch, hw_in=args.hw_in, cin=args.cin,
+            cmid=args.cmid, cout=args.cout, row_band=args.row_band,
+        )
+    print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":
