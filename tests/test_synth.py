@@ -125,3 +125,25 @@ def test_train_flagship_cli_tiny(tmp_path, capsys):
     assert set(report["ap"]) == {"model", "model_ema"}
     for aps in report["ap"].values():
         assert set(aps) == {"easy", "medium", "hard"}
+
+
+def test_generate_dataset_meta_sidecar(tmp_path):
+    """Second call with the same (seed, n) skips rendering via the GT
+    sidecar and returns identical records."""
+    import time
+
+    from tpucenterface.data.synth import generate_dataset
+
+    d = str(tmp_path / "ds")
+    r1 = generate_dataset(d, 6, seed=11, hw_range=(96, 128))
+    t0 = time.time()
+    r2 = generate_dataset(d, 6, seed=11, hw_range=(96, 128))
+    cached_s = time.time() - t0
+    assert len(r1) == len(r2) == 6
+    for a, b in zip(r1, r2):
+        assert a.rel_path == b.rel_path
+        np.testing.assert_array_equal(a.boxes, b.boxes)
+        np.testing.assert_array_equal(a.invalid, b.invalid)
+        assert b.boxes.dtype == a.boxes.dtype
+    # the cached path must not have re-rendered (renders take >>10ms each)
+    assert cached_s < 1.0

@@ -268,6 +268,25 @@ def generate_dataset(
     exact up to the one-time jpg encode)."""
     ev_dir = os.path.join(out_dir, event)
     os.makedirs(ev_dir, exist_ok=True)
+
+    # GT sidecar: rendering is the only source of the boxes, so a resumed
+    # run (train_flagship's stage split) would otherwise re-render every
+    # scene just to recover them — minutes of pure CPU on a 1-core host.
+    meta_path = os.path.join(
+        ev_dir, f".meta_{event}_{seed}_{n_images}.npz"
+    )
+    if not force and os.path.exists(meta_path):
+        meta = np.load(meta_path, allow_pickle=True)
+        rels = [str(r) for r in meta["rels"]]
+        if all(os.path.exists(os.path.join(out_dir, r)) for r in rels):
+            return [
+                WiderImage(
+                    os.path.join(out_dir, rel), rel,
+                    meta["boxes"][i], meta["invalid"][i],
+                )
+                for i, rel in enumerate(rels)
+            ]
+
     records: List[WiderImage] = []
     for i in range(n_images):
         rng = np.random.RandomState(
@@ -285,4 +304,10 @@ def generate_dataset(
                 path, img, [int(cv2.IMWRITE_JPEG_QUALITY), jpg_quality]
             )
         records.append(WiderImage(path, rel, boxes, invalid))
+    np.savez(
+        meta_path,
+        rels=np.array([r.rel_path for r in records], dtype=object),
+        boxes=np.array([r.boxes for r in records], dtype=object),
+        invalid=np.array([r.invalid for r in records], dtype=object),
+    )
     return records
