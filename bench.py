@@ -163,7 +163,7 @@ def main():
                 # machine-checkable floor claims (VERDICT r3 #4): whole-
                 # program achieved TFLOP/s, MFU vs this chip's MEASURED
                 # peaks (190 TFLOP/s bf16 / 350 TOPS int8), achieved HBM
-                # TB/s and fraction of the measured 1.3 TB/s roofline
+                # TB/s and fraction of the measured 0.65 TB/s roofline
                 # (bench/roofline.py reduces the op_profile xplane data)
                 "serving_mfu": rl_bf16["mfu"] if rl_bf16 else None,
                 "serving_hbm_frac": rl_bf16["hbm_frac"] if rl_bf16 else None,
