@@ -108,12 +108,20 @@ class TestStride1Residual:
         from tpucenterface.bench.probe_fused_block import (
             fused_block_s1_ref, make_fused_block_s1_kernel, pad_bands)
         prm, x, args = self._setup()
-        xp = pad_bands(x, self.HW, self.ROW_BAND,
-                       halo_lo=2 * self.HW, halo_hi=2 * self.HW)
+        x32 = jnp.concatenate(
+            [x, jnp.zeros((self.B, self.COUT_PAD - self.CIN,
+                           self.HW * self.HW), x.dtype)], axis=1)
+        args_k = list(args)
+        args_k[1] = jnp.concatenate(
+            [args[1], jnp.zeros((self.CMID, self.COUT_PAD - self.CIN),
+                                args[1].dtype)], axis=1)
+        halo = -(-(self.HW + 1) // 128) * 128
+        xp = pad_bands(x32, self.HW, self.ROW_BAND,
+                       halo_lo=halo, halo_hi=halo)
         ker = make_fused_block_s1_kernel(
             self.B, self.CIN, self.CMID, self.HW, self.ROW_BAND,
             interpret=True)
-        got = np.asarray(ker(*args, xp).astype(jnp.float32))
+        got = np.asarray(ker(*args_k, xp).astype(jnp.float32))
         ref = np.asarray(fused_block_s1_ref(
             x, *args, hw=self.HW).astype(jnp.float32))
         np.testing.assert_array_equal(got, ref)

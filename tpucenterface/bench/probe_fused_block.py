@@ -40,6 +40,13 @@ import json
 HW_OUT_DEFAULT = 160
 
 
+def s2_halo(hw_out: int) -> int:
+    """Halo lanes for the s2 kernel: >= hw_out+1 (tap starts stay >= 0),
+    rounded to a 128-lane tile so the input block's last dim satisfies
+    Mosaic's divisible-by-128 block constraint."""
+    return -(-(hw_out + 1) // 128) * 128
+
+
 def _plane_index(pr: int, pc: int) -> int:
     """Parity plane order along the channel-block dim: (pr, pc) -> 0..3."""
     return pr * 2 + pc
@@ -174,7 +181,7 @@ def make_fused_block_kernel(
     p_band = row_band * hw_out
     n_bands = hw_out // row_band
     assert hw_out % row_band == 0
-    halo = 2 * hw_out  # two rows: keeps every tap's slice start >= 0
+    halo = s2_halo(hw_out)
     p_blk = p_band + halo
 
     def kernel(we_r, es_r, eb_r, ei_r, wd_r, ds_r, db_r, di_r,
@@ -204,10 +211,8 @@ def make_fused_block_kernel(
         def tap(pl_idx, dr, dc):
             # out lane q sits at block index halo + q; tap (dr, dc) reads
             # halo + q - dr*hw_out - dc (>= hw_out - 1 >= 0: no clamping)
-            start = halo - dr * hw_out - dc
-            t = jax.lax.dynamic_slice(
-                e_planes[pl_idx], (0, start), (cmid, p_band)
-            )
+            start = halo - dr * hw_out - dc  # static python int
+            t = e_planes[pl_idx][:, start:start + p_band]
             if dc:
                 t = jnp.where(mask_col0, 0.0, t)
             if dr:
@@ -291,7 +296,7 @@ def pad_bands(x_planar, hw_out: int, row_band: int,
     n_bands = (p // hw_out) // row_band
     p_band = row_band * hw_out
     if halo_lo is None:
-        halo_lo = 2 * hw_out
+        halo_lo = s2_halo(hw_out)
     chunks = []
     for j in range(n_bands):
         lo = j * p_band - halo_lo
@@ -312,7 +317,7 @@ def pad_bands(x_planar, hw_out: int, row_band: int,
 
 def make_fused_block_s1_kernel(
     b: int, cin: int, cmid: int, hw: int, row_band: int = 20,
-    residual: bool = True, interpret: bool = False,
+    residual: bool = True, cin_pad: int = None, interpret: bool = False,
 ):
     """Stride-1 fused MBConv (block_2 shape): bf16 planar input -> quantize
     at the expand scale in VMEM -> expand -> 3x3/s1 dw -> project -> bf16
@@ -330,10 +335,18 @@ def make_fused_block_s1_kernel(
     p_band = row_band * hw
     n_bands = hw // row_band
     assert hw % row_band == 0
-    halo_lo = 2 * hw
-    halo_hi = 2 * hw
+    # minimum tile-aligned halos: taps reach hw+1 lanes past each end
+    halo_lo = -(-(hw + 1) // 128) * 128
+    halo_hi = halo_lo
     p_blk = p_band + halo_lo + halo_hi
     cout_pad = max(32, cin)
+    if cin_pad is None:
+        cin_pad = cout_pad
+    # input arrives zero-padded to cin_pad (== cout_pad) channel rows: the
+    # expand weight is zero on the pad columns, and the residual add is a
+    # direct row-aligned add (jnp.pad inside the kernel trips a Mosaic
+    # sublane-misaligned concatenate bug)
+    assert cin_pad == cout_pad
 
     def kernel(inv_se_r, we_r, es_r, eb_r, ei_r, wd_r, ds_r, db_r, di_r,
                wp_r, ps_r, pb_r, x_r, out_r):
@@ -361,8 +374,8 @@ def make_fused_block_s1_kernel(
         accd = jnp.zeros((cmid, p_band), jnp.float32)
         for di in (-1, 0, 1):
             for dj in (-1, 0, 1):
-                start = halo_lo + di * hw + dj
-                t = jax.lax.dynamic_slice(e, (0, start), (cmid, p_band))
+                start = halo_lo + di * hw + dj  # static python int
+                t = e[:, start:start + p_band]
                 if di:
                     t = jnp.where(masks[(di, 0)], 0.0, t)
                 if dj:
@@ -379,10 +392,7 @@ def make_fused_block_s1_kernel(
         ).astype(jnp.float32)
         yp = accp * ps_r[:] + pb_r[:]
         if residual:
-            xc = jax.lax.dynamic_slice(xf, (0, halo_lo), (cin, p_band))
-            if cout_pad > cin:  # residual only on the real channels
-                xc = jnp.pad(xc, ((0, cout_pad - cin), (0, 0)))
-            yp = yp + xc
+            yp = yp + xf[:, halo_lo:halo_lo + p_band]
         out_r[0] = yp.astype(jnp.bfloat16)
 
     grid = (b, n_bands)
@@ -392,7 +402,7 @@ def make_fused_block_s1_kernel(
         grid=grid,
         in_specs=[
             c_spec((1, 1)),                 # inv expand act scale (scalar)
-            c_spec((cmid, cin)),            # we
+            c_spec((cmid, cin_pad)),        # we (zero-padded cols)
             c_spec((cmid, 1)),              # e_scale
             c_spec((cmid, 1)),              # e_bias
             c_spec((cmid, 1)),              # e_inv_sdw (per-channel)
@@ -403,7 +413,7 @@ def make_fused_block_s1_kernel(
             c_spec((cout_pad, cmid)),       # wp
             c_spec((cout_pad, 1)),          # p_scale
             c_spec((cout_pad, 1)),          # p_bias
-            pl.BlockSpec((1, cin, p_blk), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((1, cin_pad, p_blk), lambda i, j: (i, 0, j)),
         ],
         out_specs=pl.BlockSpec(
             (1, cout_pad, p_band), lambda i, j: (i, 0, j)
@@ -564,12 +574,21 @@ def run_probe_s1(
         "we", "e_scale", "e_bias", "e_inv_sdw", "wd", "d_scale", "d_bias",
         "d_inv_sproj", "wp", "p_scale", "p_bias",
     )]
-    xp_pad = pad_bands(x, hw, row_band, halo_lo=2 * hw, halo_hi=2 * hw)
+    cin_pad = 32
+    x32 = jnp.concatenate(
+        [x, jnp.zeros((batch, cin_pad - cin, hw * hw), x.dtype)], axis=1
+    )
+    args_k = list(args)
+    args_k[1] = jnp.concatenate(  # we: zero columns for the pad channels
+        [args[1], jnp.zeros((cmid, cin_pad - cin), args[1].dtype)], axis=1
+    )
+    halo = -(-(hw + 1) // 128) * 128
+    xp_pad = pad_bands(x32, hw, row_band, halo_lo=halo, halo_hi=halo)
     fused = make_fused_block_s1_kernel(batch, cin, cmid, hw, row_band)
 
     # correctness on 2 images (device)
     small = make_fused_block_s1_kernel(2, cin, cmid, hw, row_band)
-    got = np.asarray(jax.jit(small)(*args, xp_pad[:2]).astype(jnp.float32))
+    got = np.asarray(jax.jit(small)(*args_k, xp_pad[:2]).astype(jnp.float32))
     ref = np.asarray(jax.jit(
         fused_block_s1_ref, static_argnames=("hw", "residual")
     )(x[:2], *args, hw=hw).astype(jnp.float32))
@@ -595,7 +614,7 @@ def run_probe_s1(
         vals = [dep_op_time_ms(op, xx) for _ in range(passes)]
         return median_spread(vals, ndigits=6)
 
-    t_fused, sp_fused = time_fn(lambda c: fused(*args, c), xp_pad)
+    t_fused, sp_fused = time_fn(lambda c: fused(*args_k, c), xp_pad)
     t_chain, sp_chain = time_fn(lambda c: chain(c, *nhwc_args), x_nhwc)
 
     return {
