@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0,
                    help="must match the training run (val split = seed+7777)")
     p.add_argument("--input-size", type=int, default=320)
+    p.add_argument("--hw-min", type=int, default=384)
+    p.add_argument("--hw-max", type=int, default=512)
+    p.add_argument("--min-face", type=float, default=18.0)
     p.add_argument("--calib", type=int, default=16,
                    help="calibration scenes (from the TRAIN split stream)")
     p.add_argument("--qat-steps", type=int, default=60)
@@ -50,13 +53,15 @@ def main(argv=None) -> int:
 
     data_dir = args.data_dir or os.path.join(args.workdir, "data")
     val_recs = generate_dataset(
-        os.path.join(data_dir, "val"), args.val_images, seed=args.seed + 7777
+        os.path.join(data_dir, "val"), args.val_images, seed=args.seed + 7777,
+        hw_range=(args.hw_min, args.hw_max), min_face=args.min_face,
     )
     # calibration frames: train-split scenes letterboxed to the model size
     # host-side (square resize; calibration needs representative statistics,
     # not exact geometry)
     calib_recs = generate_dataset(
-        os.path.join(data_dir, "train"), args.calib, seed=args.seed
+        os.path.join(data_dir, "train"), args.calib, seed=args.seed,
+        hw_range=(args.hw_min, args.hw_max), min_face=args.min_face,
     )
     size = args.input_size
     calib = np.stack([

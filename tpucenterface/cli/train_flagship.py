@@ -28,15 +28,23 @@ import os
 import time
 
 
-def build_records(data_dir: str, n_train: int, n_val: int, seed: int):
+def build_records(data_dir: str, n_train: int, n_val: int, seed: int,
+                  hw_range=(384, 512), min_face: float = 18.0):
     from tpucenterface.data.synth import generate_dataset
 
+    # hw_range caps scene size so the SMALLEST rendered faces stay >=9 px
+    # after the 320 letterbox: a 14 px face in a 768 px scene lands at
+    # ~5.8 px on the model input — unlearnable noise that poisons the
+    # focal loss (measured: the r4 first flagship run at the generator
+    # defaults never localized; see PERFORMANCE.md "Flagship recipe")
     train_recs = generate_dataset(
-        os.path.join(data_dir, "train"), n_train, seed=seed
+        os.path.join(data_dir, "train"), n_train, seed=seed,
+        hw_range=hw_range, min_face=min_face,
     )
     # disjoint deterministic stream for the held-out split
     val_recs = generate_dataset(
-        os.path.join(data_dir, "val"), n_val, seed=seed + 7777
+        os.path.join(data_dir, "val"), n_val, seed=seed + 7777,
+        hw_range=hw_range, min_face=min_face,
     )
     return train_recs, val_recs
 
@@ -71,7 +79,13 @@ def main(argv=None) -> int:
     p.add_argument("--input-size", type=int, default=320)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--steps", type=int, default=6000)
-    p.add_argument("--lr", type=float, default=5e-4)
+    # 2e-3, not the reference-canonical 5e-4: measured A/B on the synth
+    # task (PERFORMANCE.md r4) — 5e-4 reaches AP 0.34 where 2e-3 reaches
+    # 0.85 at the same step budget; 5e-4 needs a multi-x longer schedule
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--hw-min", type=int, default=384)
+    p.add_argument("--hw-max", type=int, default=512)
+    p.add_argument("--min-face", type=float, default=18.0)
     p.add_argument("--ema-decay", type=float, default=0.999)
     p.add_argument("--grad-clip", type=float, default=5.0)
     p.add_argument("--seed", type=int, default=0)
@@ -91,7 +105,8 @@ def main(argv=None) -> int:
     os.makedirs(args.workdir, exist_ok=True)
     t0 = time.time()
     train_recs, val_recs = build_records(
-        data_dir, args.train_images, args.val_images, args.seed
+        data_dir, args.train_images, args.val_images, args.seed,
+        hw_range=(args.hw_min, args.hw_max), min_face=args.min_face,
     )
     print(
         f"dataset: {len(train_recs)} train / {len(val_recs)} val scenes "
