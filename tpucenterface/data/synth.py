@@ -273,7 +273,9 @@ def generate_dataset(
     # run (train_flagship's stage split) would otherwise re-render every
     # scene just to recover them — minutes of pure CPU on a 1-core host.
     meta_path = os.path.join(
-        ev_dir, f".meta_{event}_{seed}_{n_images}.npz"
+        ev_dir,
+        f".meta_{event}_{seed}_{n_images}_{hw_range[0]}x{hw_range[1]}"
+        f"_{max_faces}_{min_face:g}.npz",
     )
     if not force and os.path.exists(meta_path):
         meta = np.load(meta_path, allow_pickle=True)
