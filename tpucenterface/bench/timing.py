@@ -118,12 +118,18 @@ def dep_op_time_ms(
     """Slope timing for ops whose output shape differs from the input's.
 
     chain_op_time_ms needs out==in shapes; here each iteration's FULL
-    output is forced by a sum, and a provably-cheap data dependency (a
-    one-element dynamic_update_slice on the carried input) serializes
-    iterations without re-streaming the input. The sum adds one read pass
-    over the output — identical for every variant timed this way, so
-    comparisons are unbiased; absolute values are upper bounds by that
-    pass.
+    output is forced by an optimization_barrier + sum, and a provably-cheap
+    data dependency (a one-element dynamic_update_slice on the carried
+    input) serializes iterations without re-streaming the input.
+
+    Why the barrier (ADVICE r4 medium): without it, XLA can fuse the scalar
+    reduction into a plain-HLO op's final fusion and never write the output
+    array to HBM, while a pallas_call always materializes its output — so
+    "the sum is identical for every variant" was false, biasing
+    pallas-vs-XLA comparisons in XLA's favor by ~one output write. The
+    barrier forces the output to materialize for BOTH variants before the
+    sum reads it back, so comparisons are symmetric; absolute values are
+    upper bounds by that one write+read pass over the output.
     """
     import jax.numpy as jnp
     import numpy as np
@@ -132,7 +138,10 @@ def dep_op_time_ms(
         @jax.jit
         def run(x):
             def body(i, c):
-                out = op(c)
+                # barrier: the output must be a materialized buffer (the
+                # sum cannot fuse into the producer), matching pallas_call
+                # semantics for plain-HLO variants
+                out = jax.lax.optimization_barrier(op(c))
                 s = jnp.sum(out.astype(jnp.float32))  # forces full out
                 idx = (0,) * c.ndim
                 patch = c[(slice(0, 1),) * c.ndim] + (s * 1e-30).astype(

@@ -264,19 +264,29 @@ def generate_dataset(
 ) -> List[WiderImage]:
     """Render `n_images` scenes to out_dir/<event>/ as jpgs; returns
     WiderImage records. Idempotent: existing files are reused unless
-    `force` (scenes are a pure function of (seed, index), so reuse is
-    exact up to the one-time jpg encode)."""
+    `force` (scenes are a pure function of (seed, index, scene params), so
+    reuse is exact up to the one-time jpg encode).
+
+    The scene-parameter key is EMBEDDED IN EVERY FILENAME (jpgs and the GT
+    sidecar): a scene is a function of hw_range/max_faces/min_face as well
+    as (seed, index), so reusing a same-named file rendered under different
+    parameters would silently pair fresh boxes with stale pixels — the
+    exact corruption that can reproduce the r4 'AP 0.0' failure when a
+    parameter change is re-run over a pre-existing data dir (ADVICE r4)."""
     ev_dir = os.path.join(out_dir, event)
     os.makedirs(ev_dir, exist_ok=True)
+
+    key = (
+        f"s{seed}_{hw_range[0]}x{hw_range[1]}_f{max_faces}"
+        f"_m{min_face:g}_q{jpg_quality}"
+    )
 
     # GT sidecar: rendering is the only source of the boxes, so a resumed
     # run (train_flagship's stage split) would otherwise re-render every
     # scene just to recover them — minutes of pure CPU on a 1-core host.
-    meta_path = os.path.join(
-        ev_dir,
-        f".meta_{event}_{seed}_{n_images}_{hw_range[0]}x{hw_range[1]}"
-        f"_{max_faces}_{min_face:g}.npz",
-    )
+    # Existence of the key-named jpgs is a valid cache check precisely
+    # because the key pins every parameter that shapes the pixels.
+    meta_path = os.path.join(ev_dir, f".meta_{event}_{key}_{n_images}.npz")
     if not force and os.path.exists(meta_path):
         meta = np.load(meta_path, allow_pickle=True)
         rels = [str(r) for r in meta["rels"]]
@@ -296,7 +306,7 @@ def generate_dataset(
         )
         h = int(rng.uniform(*hw_range))
         w = int(rng.uniform(*hw_range))
-        rel = f"{event}/{event}_{i:05d}.jpg"
+        rel = f"{event}/{event}_{key}_{i:05d}.jpg"
         path = os.path.join(out_dir, rel)
         img, boxes, invalid = render_scene(
             rng, (h, w), max_faces=max_faces, min_face=min_face
