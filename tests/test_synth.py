@@ -108,6 +108,47 @@ def test_ap_on_records_oracle_and_blind(tmp_path):
     assert all(v == 0.0 for v in aps0.values()), aps0
 
 
+def test_score_detections_oracle(tmp_path):
+    """GT boxes fed back as detections score AP ~1 on every split (pins the
+    shared scoring tail ap_on_records and ap_on_records_tta both use)."""
+    from tpucenterface.eval.synth_eval import score_detections
+
+    recs = generate_dataset(str(tmp_path), 5, seed=4)
+    dets = []
+    for r in recs:
+        b = r.xyxy.astype(np.float64)
+        dets.append(np.concatenate([b, np.full((len(b), 1), 0.9)], axis=1))
+    aps = score_detections(dets, recs)
+    assert set(aps) == {"easy", "medium", "hard"}
+    for k, v in aps.items():
+        assert v > 0.95, (k, v)
+
+
+def test_ap_on_records_tta_runs(tmp_path):
+    """ap_on_records_tta drives the production TTA path end-to-end on a
+    random-weight detector over tiny scenes: full split set, finite values
+    (accuracy VALUE on the flagship model is measured in PERFORMANCE.md)."""
+    import jax
+
+    from tpucenterface.config import DetectorConfig, ModelConfig
+    from tpucenterface.detector import Detector
+    from tpucenterface.eval.synth_eval import ap_on_records_tta
+
+    recs = generate_dataset(str(tmp_path), 3, seed=2, hw_range=(64, 96))
+    det = Detector(
+        config=DetectorConfig(
+            model=ModelConfig(compute_dtype="float32"),
+            buckets=(64, 96),
+            default_size=64,
+        ),
+        rng=jax.random.PRNGKey(0),
+    )
+    aps = ap_on_records_tta(det, recs, scales=(1.0,), flip=True, batch=4)
+    assert set(aps) == {"easy", "medium", "hard"}
+    for v in aps.values():
+        assert 0.0 <= v <= 1.0
+
+
 @pytest.mark.slow
 def test_train_flagship_cli_tiny(tmp_path, capsys):
     """End-to-end recipe smoke at toy scale: stage-split resume + live/EMA

@@ -400,3 +400,97 @@ def test_resume_completed_run_does_not_resave(tiny_dataset, tmp_path):
     )
     assert int(state2.step) == 2
     assert os.path.exists(os.path.join(wd, "model.safetensors"))
+
+
+def test_frozen_bn_step_semantics(tiny_dataset):
+    """FrozenBN (TrainConfig.freeze_bn_steps, the r5 flagship fix): the
+    frozen step must leave batch_stats bit-identical while still updating
+    params; the unfrozen step must mutate batch_stats."""
+    from tpucenterface.runtime.sharding import data_mesh
+    from tpucenterface.train.step import (
+        make_train_state,
+        make_train_step,
+        shard_train_step,
+    )
+
+    mcfg = ModelConfig(compute_dtype="float32")
+    tcfg = TrainConfig(input_size=64, batch_size=8, max_objs=8, lr=1e-3)
+    batch = next(iter(batch_iterator(tiny_dataset, tcfg, seed=0)))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    model, state, tx = make_train_state(
+        mcfg, tcfg, rng=jax.random.PRNGKey(0), input_size=64
+    )
+    mesh = data_mesh()
+    stats0 = jax.device_get(state.batch_stats)
+
+    frozen = make_train_step(model, tx, tcfg, frozen_bn=True)
+    jit_frozen, state_f = shard_train_step(frozen, mesh, state)
+    # snapshot before the call: the jitted step donates its input state
+    params0 = jax.device_get(state_f.params)
+    new_f, metrics_f = jit_frozen(state_f, batch)
+    assert np.isfinite(float(metrics_f["loss"]))
+    # batch_stats pass through bit-identically; params moved
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        new_f.batch_stats,
+        stats0,
+    )
+    params_moved = any(
+        np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        for a, b in zip(jax.tree.leaves(new_f.params), jax.tree.leaves(params0))
+    )
+    assert params_moved, "frozen step must still update params"
+
+    model2, state2, tx2 = make_train_state(
+        mcfg, tcfg, rng=jax.random.PRNGKey(0), input_size=64
+    )
+    unfrozen = make_train_step(model2, tx2, tcfg)
+    jit_unfrozen, state_u = shard_train_step(unfrozen, mesh, state2)
+    new_u, _ = jit_unfrozen(state_u, batch)
+    moved = any(
+        np.abs(np.asarray(a) - b).max() > 0
+        for a, b in zip(
+            jax.tree.leaves(new_u.batch_stats), jax.tree.leaves(stats0)
+        )
+    )
+    assert moved, "unfrozen step must update batch_stats"
+
+
+def test_train_loop_freeze_bn_boundary(tiny_dataset, tmp_path):
+    """train() switches to the frozen step at freeze_bn_steps: stats move
+    during warmup, then stay bit-frozen to the end of the run."""
+    from tpucenterface.train.loop import restore_checkpoint, train
+    from tpucenterface.train.step import make_train_state
+
+    mcfg = ModelConfig(compute_dtype="float32")
+    tcfg = TrainConfig(
+        input_size=64, batch_size=8, max_objs=8, lr=1e-3, freeze_bn_steps=2
+    )
+    state = train(
+        tiny_dataset,
+        model_cfg=mcfg,
+        train_cfg=tcfg,
+        workdir=str(tmp_path / "a"),
+        max_steps=2,
+        ckpt_every=0,
+        resume=False,
+    )
+    stats_at_freeze = jax.device_get(state.batch_stats)
+
+    state2 = train(
+        tiny_dataset,
+        model_cfg=mcfg,
+        train_cfg=tcfg,
+        workdir=str(tmp_path / "b"),
+        max_steps=5,
+        ckpt_every=0,
+        resume=False,
+    )
+    assert int(state2.step) == 5
+    # steps 3-5 ran frozen: stats equal the step-2 snapshot bit-for-bit
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state2.batch_stats,
+        stats_at_freeze,
+    )

@@ -67,6 +67,7 @@ def flagship_train_cfg(args, n_train: int):
         ema_decay=args.ema_decay,
         grad_clip_norm=args.grad_clip,
         max_objs=32,
+        freeze_bn_steps=args.freeze_bn,
     )
 
 
@@ -88,6 +89,13 @@ def main(argv=None) -> int:
     p.add_argument("--min-face", type=float, default=18.0)
     p.add_argument("--ema-decay", type=float, default=0.999)
     p.add_argument("--grad-clip", type=float, default=5.0)
+    # FrozenBN warmup boundary — the r5 fix for the "loss falls, AP 0.0"
+    # failure: on high-variance crowded scenes the net otherwise learns to
+    # lean on per-batch BN statistics, which inference's running averages
+    # cannot reproduce (measured: train-mode hm peaks ~0.3 vs eval ~0.06 on
+    # identical weights/inputs). After this step BN uses running averages
+    # in-training too, so train == eval normalization from there on.
+    p.add_argument("--freeze-bn", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument(

@@ -267,6 +267,17 @@ class TrainConfig:
     # ahead of Adam — guards the occasional exploding focal-loss step on
     # hard batches without changing well-behaved updates
     grad_clip_norm: float = 0.0
+    # FrozenBN warmup boundary (0 = off): after this many steps BatchNorm
+    # switches to its running averages and stats stop updating — the
+    # Detectron-style detection recipe. Why (measured, r5): on crowded
+    # variable-statistics scenes the per-batch BN statistics at the deep
+    # layers swing wildly batch-to-batch, the net learns to depend on
+    # batch-level renormalization, and NO running average reproduces that
+    # at eval (train-mode hm peaks ~0.3 vs eval-mode ~0.06 on the SAME
+    # inputs/weights — the root cause of the r4 "loss falls, AP 0.0"
+    # flagship failures). Freezing makes train and eval normalization
+    # identical by construction for the rest of the run.
+    freeze_bn_steps: int = 0
     # augmentation
     scale_range: Tuple[float, float] = (0.6, 1.4)
     shift_ratio: float = 0.1

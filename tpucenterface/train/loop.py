@@ -115,6 +115,26 @@ def train(
     mesh = data_mesh(n_devices)
     step_fn = make_train_step(model, tx, train_cfg, pre_cfg)
     jitted, state = shard_train_step(step_fn, mesh, state)
+    # FrozenBN recipe (TrainConfig.freeze_bn_steps): a second compiled step
+    # takes over past the warmup boundary — BN normalizes with the (now
+    # final) running averages exactly as inference will, stats stop
+    # updating. Compiled lazily so runs that never cross the boundary (or
+    # have it off) pay nothing.
+    frozen_jitted = None
+
+    def step_for(step_idx: int):
+        nonlocal frozen_jitted, state
+        if (
+            train_cfg.freeze_bn_steps <= 0
+            or step_idx < train_cfg.freeze_bn_steps
+        ):
+            return jitted
+        if frozen_jitted is None:
+            frozen_fn = make_train_step(
+                model, tx, train_cfg, pre_cfg, frozen_bn=True
+            )
+            frozen_jitted, state = shard_train_step(frozen_fn, mesh, state)
+        return frozen_jitted
 
     total_steps = max_steps or steps_per_epoch * train_cfg.epochs
     # Host-side step counter: fetching `int(state.step)` every iteration
@@ -133,7 +153,7 @@ def train(
     for batch in prefetch_to_device(batches, size=2, sharding=batch_sharding(mesh)):
         if step >= total_steps:
             break
-        state, metrics = jitted(state, batch)
+        state, metrics = step_for(step)(state, batch)
         step += 1
         if log_fn is not None and step % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}  # device fetch here

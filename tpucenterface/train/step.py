@@ -83,12 +83,20 @@ def make_train_step(
     tx: optax.GradientTransformation,
     train_cfg: TrainConfig,
     pre_cfg: PreprocessConfig = PreprocessConfig(),
+    frozen_bn: bool = False,
 ):
     """Build the pure (state, batch) -> (state, metrics) step function.
 
     batch['image'] is uint8 BGR (host augmenters emit raw canvases);
     normalization runs device-side, sharing constants with the inference
     preprocess (one codepath for the parity-critical mean/std).
+
+    frozen_bn=True builds the post-warmup FrozenBN step
+    (TrainConfig.freeze_bn_steps): BatchNorm normalizes with its running
+    averages (exactly as inference will) and batch_stats pass through
+    unchanged; gradients flow through the now-affine normalization. The
+    model has no other train-mode behavior (no dropout), so this is a pure
+    normalization-consistency switch.
     """
     mean = jnp.asarray(pre_cfg.mean, jnp.float32)
     std = jnp.asarray(pre_cfg.std, jnp.float32)
@@ -101,13 +109,25 @@ def make_train_step(
             x = (x / 255.0 - mean) / std
         return x  # float inputs pass through (tests feed pre-normalized)
 
-    def _apply(params, batch_stats, x):
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            x,
-            train=True,
-            mutable=["batch_stats"],
-        )
+    if frozen_bn:
+
+        def _apply(params, batch_stats, x):
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x,
+                train=False,
+            )
+            return out, {"batch_stats": batch_stats}
+
+    else:
+
+        def _apply(params, batch_stats, x):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
 
     if train_cfg.remat:
         # rematerialize the forward: activations recomputed in the backward
