@@ -168,6 +168,17 @@ def main():
                 "serving_mfu": rl_bf16["mfu"] if rl_bf16 else None,
                 "serving_hbm_frac": rl_bf16["hbm_frac"] if rl_bf16 else None,
                 "serving_roofline": rl_bf16,
+                # per-section ms + floor ratios (VERDICT r4 #5): conv /
+                # input / decode / neck device ms, each with its naive
+                # per-op roofline floor (MXU-or-VPU compute vs HBM, the
+                # larger) and — where the ledger recorded one — the
+                # demonstrated floor; a regression names its section here
+                "serving_sections": (
+                    rl_bf16.get("sections") if rl_bf16 else None
+                ),
+                "serving_int8_sections": (
+                    rl_int8.get("sections") if rl_int8 else None
+                ),
                 "serving_int8_mfu": rl_int8["mfu"] if rl_int8 else None,
                 "serving_int8_hbm_frac": (
                     rl_int8["hbm_frac"] if rl_int8 else None

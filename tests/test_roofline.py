@@ -59,3 +59,57 @@ def test_roofline_of_fn_smoke():
         pytest.skip(f"profiler converter unavailable on this backend: {e}")
     for k in ("total_ms", "tflops", "mfu", "hbm_tbps", "hbm_frac"):
         assert k in s
+
+
+def test_per_op_floor_ms_axes():
+    from tpucenterface.bench.roofline import (
+        MEASURED_VPU_TELEMOPS,
+        per_op_floor_ms,
+    )
+
+    # conv row: MXU-rate compute floor dominates
+    conv = {"category": "convolution fusion",
+            "ms_per_iter": 1.0, "gflops_per_iter": 190.0,
+            "gbytes_per_iter": 0.065}
+    assert abs(per_op_floor_ms(conv) - 1.0) < 1e-9          # 190/190 = 1 ms
+    assert abs(per_op_floor_ms(conv, int8=True) - 190.0 / 350.0) < 1e-9
+    # elementwise row: costed at the VPU rate, not the MXU's
+    elem = {"category": "loop fusion",
+            "ms_per_iter": 1.0, "gflops_per_iter": 0.5, "gbytes_per_iter": 0.0}
+    assert abs(per_op_floor_ms(elem) - 0.5 / MEASURED_VPU_TELEMOPS) < 1e-9
+    # HBM-bound row: bytes axis wins
+    stream = {"category": "data formatting",
+              "ms_per_iter": 1.0, "gflops_per_iter": 0.0,
+              "gbytes_per_iter": 0.65}
+    assert abs(per_op_floor_ms(stream) - 1.0) < 1e-9        # 0.65/0.65 TB/s
+
+
+def test_section_table_mapping_and_ratios():
+    from tpucenterface.bench.roofline import section_table
+
+    rows = [
+        {"category": "convolution fusion", "ms_per_iter": 20.0,
+         "gflops_per_iter": 1750.0, "gbytes_per_iter": 3.25},  # floor 5 (int8)
+        {"category": "data formatting", "ms_per_iter": 0.8,
+         "gflops_per_iter": 0.0, "gbytes_per_iter": 0.26},     # floor 0.4
+        {"category": "sort", "ms_per_iter": 0.2,
+         "gflops_per_iter": 0.0, "gbytes_per_iter": 0.0},
+        {"category": "broadcast", "ms_per_iter": 0.4,
+         "gflops_per_iter": 0.0, "gbytes_per_iter": 0.13},     # floor 0.2
+        {"category": "weird-new-category", "ms_per_iter": 0.1,
+         "gflops_per_iter": 0.0, "gbytes_per_iter": 0.0},
+    ]
+    t = section_table(rows, int8=True)
+    assert set(t) == {"conv", "input", "decode", "neck", "other"}
+    assert t["conv"]["ms"] == 20.0
+    assert abs(t["conv"]["floor_ms"] - 5.0) < 1e-6
+    assert t["conv"]["ratio"] == 4.0
+    # recorded demonstrated floors present for the int8 serving sections
+    assert t["conv"]["recorded_floor_ms"] == 22.5
+    assert abs(t["conv"]["vs_recorded"] - 20.0 / 22.5) < 1e-3
+    assert t["input"]["ms"] == 0.8 and abs(t["input"]["ratio"] - 2.0) < 1e-6
+    # zero-floor section: ratio is None, not a division crash
+    assert t["decode"]["ms"] == 0.2 and t["decode"]["ratio"] is None
+    # bf16 mode has no recorded floors yet -> fields absent, no crash
+    t2 = section_table(rows, int8=False)
+    assert "recorded_floor_ms" not in t2["neck"]

@@ -108,13 +108,16 @@ def profile_detect_program(
     by_cat: Dict[str, float] = {}
     for r in rows:
         by_cat[r["category"]] = by_cat.get(r["category"], 0.0) + r["ms_per_iter"]
-    from tpucenterface.bench.roofline import summarize_rows
+    from tpucenterface.bench.roofline import section_table, summarize_rows
 
     return {
         "total_ms": round(total, 3),
         "img_per_s": round(batch / total * 1e3, 1) if total else None,
         # whole-program MFU / HBM-roofline vs the chip's measured peaks
         "roofline": summarize_rows(rows, int8=int8 or int8_dw),
+        # per-section ms + floor ratios (conv/input/decode/neck —
+        # VERDICT r4 #5; bench.py publishes the same fields)
+        "sections": section_table(rows, int8=int8 or int8_dw),
         "by_category_ms": {
             k: round(v, 3)
             for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])

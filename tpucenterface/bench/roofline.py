@@ -33,6 +33,97 @@ from typing import Dict, List, Optional, Sequence
 MEASURED_BF16_TFLOPS = 190.0   # 8192^3 bf16 matmul, loop-slope method
 MEASURED_INT8_TOPS = 350.0     # lone int8 conv vs bf16 ratio x bf16 peak
 MEASURED_HBM_TBPS = 0.65       # elementwise read+write, chain-slope method
+# VPU elementwise rate (ledger #26: the int8 requant epilogue sustained
+# ~1 T elem-op/s — the axis the whole-program MFU/HBM pair can't see, and
+# why an epilogue-heavy program reads "MFU 0.09 at hbm_frac 0.44" while
+# still sitting at its floor). Non-matmul categories' flops are costed
+# against this peak, not the MXU's.
+MEASURED_VPU_TELEMOPS = 1.0
+
+# xplane category -> program section (VERDICT r4 #5: per-section ms +
+# floor-ratio fields so a regression names the section that broke instead
+# of only moving total img/s). Mirrors the hand-built r3 25.3 ms table:
+# conv = the forward's convolution fusions; input = staging relayouts and
+# the quantize pass; decode = sort/top-k/gathers; neck = the upsample
+# broadcast (ledger #23's best-of-3 form).
+SECTION_OF_CATEGORY = {
+    "convolution fusion": "conv",
+    "data formatting": "input",
+    "copy": "input",
+    "copy-start": "input",
+    "copy-done": "input",
+    "loop fusion": "input",     # the uint8->int8 quantize pass (int8 mode)
+    "sort": "decode",
+    "slice": "decode",
+    "reduce": "decode",
+    "iota": "decode",
+    "custom fusion": "decode",  # top-k gathers
+    "custom-call": "decode",
+    "broadcast": "neck",        # upsample2x broadcast-reshape
+}
+# MXU-rate categories; everything else is costed at the VPU elem-op rate
+_MXU_CATEGORIES = ("convolution fusion", "convolution", "dot", "matmul")
+
+
+def per_op_floor_ms(row: dict, int8: bool = False) -> float:
+    """Per-op speed-of-light time: max(compute-axis, HBM-axis).
+
+    Compute axis uses the MEASURED MXU peak for matmul/conv categories and
+    the MEASURED VPU elem-op rate otherwise (rawFlops for elementwise
+    fusions count vector ops, not MACs). This is the NAIVE per-op roofline
+    — real emitters can sit legitimately above it (e.g. K=16/24 MXU
+    underfill on the early convs, ledger #27); the demonstrated floors for
+    that live in RECORDED_SECTION_FLOORS.
+    """
+    cat = row.get("category", "")
+    if any(cat.startswith(m) for m in _MXU_CATEGORIES):
+        peak_tflops = MEASURED_INT8_TOPS if int8 else MEASURED_BF16_TFLOPS
+    else:
+        peak_tflops = MEASURED_VPU_TELEMOPS  # T elem-op/s
+    # GFLOP / (TFLOP/s) == ms; GB / (TB/s) == ms
+    compute_ms = row.get("gflops_per_iter", 0.0) / peak_tflops
+    hbm_ms = row.get("gbytes_per_iter", 0.0) / MEASURED_HBM_TBPS
+    return max(compute_ms, hbm_ms)
+
+
+# Demonstrated per-section floors (ms) from the optimization ledger — the
+# measured "no lever exists" numbers, NOT naive rooflines. Keyed by
+# (mode, section) for the canonical serving program shape
+# (bs128 @640, identity staging, decode K=100). int8 row: PERFORMANCE.md
+# r3 25.3 ms table + ledger #22/#23/#26/#27 closures. bf16 row: measured
+# r5 (same program, float forward).
+RECORDED_SECTION_FLOORS = {
+    ("int8", "conv"): 22.5,
+    ("int8", "input"): 1.29,   # quantize 0.50 (2.1x HBM floor, closed) + copy.42 0.79 (no lever, #22)
+    ("int8", "decode"): 0.65,
+    ("int8", "neck"): 0.41,    # broadcast-reshape upsample, best-of-3 (#23)
+}
+
+
+def section_table(rows: Sequence[dict], int8: bool = False) -> Dict[str, dict]:
+    """Per-section {ms, floor_ms, ratio, recorded_floor_ms, vs_recorded}.
+
+    floor_ms is the self-computed per-op roofline floor (per_op_floor_ms
+    summed over the section); vs_recorded compares against the ledger's
+    demonstrated floor where one is recorded. A section whose `ratio`
+    jumps round-over-round is the section that broke.
+    """
+    mode = "int8" if int8 else "bf16"
+    secs: Dict[str, dict] = {}
+    for r in rows:
+        sec = SECTION_OF_CATEGORY.get(r.get("category", ""), "other")
+        d = secs.setdefault(sec, {"ms": 0.0, "floor_ms": 0.0})
+        d["ms"] += r.get("ms_per_iter", 0.0)
+        d["floor_ms"] += per_op_floor_ms(r, int8=int8)
+    for sec, d in secs.items():
+        d["ms"] = round(d["ms"], 3)
+        d["floor_ms"] = round(d["floor_ms"], 3)
+        d["ratio"] = round(d["ms"] / d["floor_ms"], 2) if d["floor_ms"] > 0 else None
+        rec = RECORDED_SECTION_FLOORS.get((mode, sec))
+        if rec is not None:
+            d["recorded_floor_ms"] = rec
+            d["vs_recorded"] = round(d["ms"] / rec, 3)
+    return dict(sorted(secs.items(), key=lambda kv: -kv[1]["ms"]))
 
 
 def summarize_rows(
@@ -88,4 +179,6 @@ def roofline_of_fn(
     logdir = logdir or tempfile.mkdtemp(prefix="tpucf_roofline_")
     paths = capture_trace(fn, args, logdir, iters=iters)
     rows = op_profile_table(paths, iters=iters)
-    return summarize_rows(rows, int8=int8)
+    out = summarize_rows(rows, int8=int8)
+    out["sections"] = section_table(rows, int8=int8)
+    return out
