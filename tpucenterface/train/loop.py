@@ -26,13 +26,20 @@ from tpucenterface.train.step import (
 
 
 def save_checkpoint(workdir: str, state: TrainState) -> str:
-    """Orbax checkpoint of the full train state (params/opt/stats/step)."""
+    """Orbax checkpoint of the full train state (params/opt/stats/step).
+
+    Fetches through weights.io.fetch_exact: a bare device_get through the
+    axon relay silently returned transposed 1x1-conv kernels (measured r5
+    — the root cause of the flagship "loss falls, AP 0.0" failures).
+    """
     import orbax.checkpoint as ocp
+
+    from tpucenterface.weights.io import fetch_exact
 
     step = int(state.step)
     path = os.path.abspath(os.path.join(workdir, f"ckpt_{step:07d}"))
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(state))
+        ckptr.save(path, fetch_exact(state))
     return path
 
 
@@ -53,22 +60,24 @@ def restore_checkpoint(workdir: str, template: TrainState) -> Optional[TrainStat
 def export_weights(workdir: str, state: TrainState, name: str = "model.safetensors"):
     """Write the live weights; with EMA on, also model_ema.safetensors
     (EMA params + the live batch_stats — the running BN stats track the
-    live params, which the EMA set approaches; the standard pairing)."""
-    from tpucenterface.weights.io import save_safetensors
+    live params, which the EMA set approaches; the standard pairing).
+
+    Fetches through weights.io.fetch_exact — see its docstring: a bare
+    device_get here exported transposed 1x1-conv kernels on the relay
+    backend while the orbax checkpoint of the SAME state was correct.
+    """
+    from tpucenterface.weights.io import fetch_exact, save_safetensors
 
     path = os.path.join(workdir, name)
-    save_safetensors(
-        {
-            "params": jax.device_get(state.params),
-            "batch_stats": jax.device_get(state.batch_stats),
-        },
-        path,
+    live = fetch_exact(
+        {"params": state.params, "batch_stats": state.batch_stats}
     )
+    save_safetensors(live, path)
     if state.ema_params is not None:
         save_safetensors(
             {
-                "params": jax.device_get(state.ema_params),
-                "batch_stats": jax.device_get(state.batch_stats),
+                "params": fetch_exact(state.ema_params),
+                "batch_stats": live["batch_stats"],
             },
             os.path.join(workdir, name.replace(".safetensors", "")
                          + "_ema.safetensors"),

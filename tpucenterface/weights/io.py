@@ -18,9 +18,91 @@ from flax.traverse_util import flatten_dict, unflatten_dict
 from tpucenterface.config import ModelConfig
 
 
+# indirection point so tests can inject a corrupted transfer
+_device_get = jax.device_get
+
+
+def _checksum_weights(n: int, xp):
+    """Order-sensitive checksum weights, identical on device and host."""
+    return (xp.arange(n, dtype=xp.int32) % 64 + 1).astype(xp.float32)
+
+
+def fetch_exact(tree):
+    """Layout-proof device->host fetch of a pytree. Use for EVERY weight
+    export in place of a bare jax.device_get.
+
+    Why (measured, r5): on the axon-relay TPU backend, a plain
+    jax.device_get of params that had lived through a donated jitted train
+    step returned the RAW device-layout bytes for every 1x1-conv kernel —
+    each (1,1,I,O) kernel came back as its transposed (O,I) matrix
+    reinterpreted row-major (bit-verified: np.array_equal(good[0,0].T,
+    bad[0,0])). The orbax checkpoint fetch of the SAME arrays moments
+    earlier was correct, so the corruption is silent and fetch-dependent —
+    it produced the "loss falls, AP 0.0" flagship failures (r4-r5): every
+    exported model.safetensors carried transposed projection/head kernels
+    while training itself was healthy. Defense in depth:
+
+      1. fetch rank-1 ravels computed ON DEVICE in one jitted program —
+         a 1-D buffer has no dimension order for a de-layout bug to
+         scramble;
+      2. verify an order-sensitive device-computed checksum of each leaf
+         against the host recompute, so residual transfer corruption
+         raises instead of silently exporting a broken artifact.
+    """
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree.flatten(tree)
+    if not leaves:
+        return tree
+
+    def _stage(ls):
+        flats = [jnp.ravel(x) for x in ls]
+        checks = [
+            jnp.sum(f.astype(jnp.float32) * _checksum_weights(f.size, jnp))
+            for f in flats
+        ]
+        return flats, checks
+
+    flats, checks = jax.jit(_stage)(leaves)
+    host_flats = _device_get(flats)
+    host_checks = _device_get(checks)
+    out = []
+    for leaf, flat, chk in zip(leaves, host_flats, host_checks):
+        a = np.asarray(flat)
+        expect = float(
+            np.sum(a.astype(np.float32) * _checksum_weights(a.size, np))
+        )
+        got = float(chk)
+        # device and host sum in different orders: tolerance covers f32
+        # accumulation skew; a scrambled fetch decorrelates the weighted
+        # sum by O(1) relative, far outside this band
+        tol = 1e-2 * max(abs(expect), abs(got), 1.0)
+        if not np.isfinite(expect):
+            # non-finite leaf (e.g. checkpointing a diverged run for
+            # forensics): order-sensitive verification is impossible —
+            # keep the 1-D-fetched data, which is already layout-proof
+            out.append(a.reshape(np.shape(leaf)))
+            continue
+        if not (np.isfinite(got) and abs(expect - got) <= tol):
+            raise RuntimeError(
+                "fetch_exact: device->host transfer corruption detected "
+                f"(leaf shape {np.shape(leaf)}, device checksum {got}, "
+                f"host recompute {expect}) — refusing to export"
+            )
+        out.append(a.reshape(np.shape(leaf)))
+    return jax.tree.unflatten(treedef, out)
+
+
 def save_safetensors(variables: Dict[str, Any], path: str) -> None:
     from safetensors.numpy import save_file
 
+    # device-resident trees route through the layout-proof verified fetch
+    # (fetch_exact docstring) — np.asarray on a jax Array is the same bare
+    # transfer that silently transposed 1x1 kernels on the relay backend
+    if any(
+        isinstance(leaf, jax.Array) for leaf in jax.tree.leaves(variables)
+    ):
+        variables = fetch_exact(variables)
     flat = flatten_dict(variables, sep="/")
     save_file({k: np.asarray(v) for k, v in flat.items()}, path)
 
