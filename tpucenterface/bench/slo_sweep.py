@@ -11,8 +11,9 @@ latency distribution at a sweep of offered loads:
   engine's measured max throughput, the regime where the batch ladder
   and coalescing policy set the latency shape.
 
-Prints a JSON table; PERFORMANCE.md carries the measured v5e curve and
-the recommended ladder for latency-sensitive deployments.
+Prints a JSON table, to be recorded in PERFORMANCE.md ("Serving SLO
+curve") alongside the recommended ladder for latency-sensitive
+deployments.
 
 CLI: python -m tpucenterface.bench.slo_sweep [--int8] [--size 640]
      [--request-bs 32] [--device-batch 128] [--seconds 8]
