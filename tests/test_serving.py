@@ -871,3 +871,25 @@ def test_slo_sweep_harness(det):
     assert pt["load_frac"] == 0.5 and pt["achieved_requests"] >= 1
     for k in ("p50_ms", "p95_ms", "p99_ms"):
         assert pt[k] is not None and pt[k] > 0
+
+
+def test_staging_plain_matches_formatted(det):
+    """staging="plain" (r5: default-layout device_put + in-program relayout,
+    the live-serving path on hosts where the formatted host-side pack is the
+    bottleneck) must produce identical detections to the default formatted
+    staging, and reject unknown modes."""
+    reqs = _requests(3, 4, seed=7)
+    with ServingEngine(
+        det, HW, device_batch=8, score_thresh=-1.0, staging="plain"
+    ) as eng:
+        plain = [f.result(timeout=180) for f in [eng.submit(r) for r in reqs]]
+    with ServingEngine(
+        det, HW, device_batch=8, score_thresh=-1.0, staging="formatted"
+    ) as eng:
+        fmt = [f.result(timeout=180) for f in [eng.submit(r) for r in reqs]]
+    for a_req, b_req in zip(plain, fmt):
+        for a, b in zip(a_req, b_req):
+            np.testing.assert_allclose(a.scores, b.scores, atol=1e-5)
+            np.testing.assert_allclose(a.boxes, b.boxes, atol=1e-3)
+    with pytest.raises(ValueError, match="staging"):
+        ServingEngine(det, HW, staging="warp")

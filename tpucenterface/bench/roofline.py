@@ -89,9 +89,10 @@ def per_op_floor_ms(row: dict, int8: bool = False) -> float:
 # Demonstrated per-section floors (ms) from the optimization ledger — the
 # measured "no lever exists" numbers, NOT naive rooflines. Keyed by
 # (mode, section) for the canonical serving program shape
-# (bs128 @640, identity staging, decode K=100). int8 row: PERFORMANCE.md
-# r3 25.3 ms table + ledger #22/#23/#26/#27 closures. bf16 row: measured
-# r5 (same program, float forward).
+# (bs128 @640, identity staging, decode K=100). int8 rows: PERFORMANCE.md
+# r3 25.3 ms table + ledger #22/#23/#26/#27 closures. bf16 rows are added
+# when a ledger entry demonstrates the section's floor (none recorded yet;
+# sections still carry their self-computed naive roofline floor_ms).
 RECORDED_SECTION_FLOORS = {
     ("int8", "conv"): 22.5,
     ("int8", "input"): 1.29,   # quantize 0.50 (2.1x HBM floor, closed) + copy.42 0.79 (no lever, #22)

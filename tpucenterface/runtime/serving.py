@@ -99,6 +99,26 @@ class ServingEngine:
         the eval default (DecodeConfig.max_dets=200). K=100 halves the
         top-k/gather cost (measured 1.31 -> 0.86 ms at bs128 @640); None
         keeps the detector's configured K.
+      staging: how identity launches move the assembled uint8 batch to
+        device (non-mesh engines; DP engines always stage plain via
+        put_sharded):
+        - "formatted" (default): stage into the program's XLA-chosen (AUTO)
+          parameter layouts (`detector.stage_inputs` with the compiled
+          formats) — any input relayout rides the transfer, keeping it off
+          the program's critical path (0.4 ms saved at bs128 @640 —
+          Detector._batch_fn_auto docstring).
+        - "plain": default-layout `device_put` + the in-program relayout
+          copy. The two modes trade the relayout between the host-side
+          transfer pack and the device program, so which is faster depends
+          on the host's pack bandwidth vs the link. Measured r5 on this
+          dev host (blocking put of a fresh 39 MB bs32 launch buffer,
+          3 trials each): formatted 1.23-1.34 s, plain 1.16-1.59 s —
+          indistinguishable, because the axon relay link itself moves
+          ~26-33 MB/s and dominates both (a production PCIe host moves
+          the same buffer in ~2-4 ms). The option exists so live-serving
+          latency can be measured through either path; bench/slo_sweep
+          records which mode ran and the measured per-launch H2D constant
+          so its curves decompose into environment vs engine time.
       int8_input: host-quantized staging (requires a quantize()d detector
         with the stem-baked preprocess). Identity launches apply the stem's
         device-exact uint8->int8 LUT during batch assembly (threaded C++
@@ -128,9 +148,15 @@ class ServingEngine:
         batch_ladder: Optional[Sequence[int]] = None,
         max_dets: Optional[int] = None,
         int8_input: bool = False,
+        staging: str = "formatted",
     ):
         if device_batch < 1:
             raise ValueError("device_batch must be >= 1")
+        if staging not in ("formatted", "plain"):
+            raise ValueError(
+                f"staging must be 'formatted' or 'plain', got {staging!r}"
+            )
+        self.staging = staging
         self.mesh = mesh
         self._nd = 1 if mesh is None else int(mesh.devices.size)
         if device_batch % self._nd:
@@ -211,6 +237,15 @@ class ServingEngine:
     def _fn(self, batch: int, identity: bool = False, int8_in: bool = False):
         """-> (callable, input_formats_or_None) for one launch size."""
         if self.mesh is None:
+            if self.staging == "plain":
+                # default-layout program: the (measured-cheap) input
+                # relayout runs in-program instead of in a host-side
+                # formatted pack — see the `staging` arg docstring
+                fn = self.det._batch_fn(
+                    batch, self.padded_hw, self.size, identity=identity,
+                    max_dets=self.max_dets, int8_in=int8_in,
+                )
+                return fn, None
             return self.det._batch_fn_auto(
                 batch, self.padded_hw, self.size, identity=identity,
                 max_dets=self.max_dets, int8_in=int8_in,
