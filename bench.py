@@ -65,10 +65,14 @@ def main():
     dev_b, serve_k = 128, 100
     imgs128 = np.tile(imgs, (dev_b // batch, 1, 1, 1))
     hws128 = np.tile(hws, (dev_b // batch, 1))
-    # floor of 100 enqueued launches: at 25 the run-constant relay dispatch
-    # costs depress the bs128 steady state by ~2.3% (measured); a serving
-    # pipeline runs continuously, so the amortized rate is the honest one
-    iters128 = max(100, (iters * batch) // dev_b)
+    # floor of 200 enqueued launches: a serving pipeline runs continuously,
+    # so the fully-amortized rate is the honest one. Measured r5 (pipelining
+    # depth probe, PERFORMANCE.md): 100 launches/pass reads 4,641 img/s,
+    # 200 -> 4,669, 400 -> 4,679, asymptoting on the per-section floor
+    # table's 27.24 ms device ceiling (4,699) — the residue is per-launch
+    # relay dispatch, amortized away by depth. 200 keeps the last ~0.2%
+    # on the table to bound pass runtime.
+    iters128 = max(200, (iters * batch) // dev_b)
 
     def serving_fn_and_args():
         from tpucenterface.detector import stage_inputs

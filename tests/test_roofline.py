@@ -110,6 +110,10 @@ def test_section_table_mapping_and_ratios():
     assert t["input"]["ms"] == 0.8 and abs(t["input"]["ratio"] - 2.0) < 1e-6
     # zero-floor section: ratio is None, not a division crash
     assert t["decode"]["ms"] == 0.2 and t["decode"]["ratio"] is None
-    # bf16 mode has no recorded floors yet -> fields absent, no crash
+    # bf16 rows recorded r5 (PERFORMANCE.md floor table): keyed per-mode,
+    # so the same section reads a different demonstrated floor in bf16
     t2 = section_table(rows, int8=False)
-    assert "recorded_floor_ms" not in t2["neck"]
+    assert t2["neck"]["recorded_floor_ms"] == 0.35
+    assert abs(t2["neck"]["vs_recorded"] - 0.4 / 0.35) < 1e-3
+    # a mode/section pair with no recorded row stays absent, no crash
+    assert "recorded_floor_ms" not in t2["other"]

@@ -89,15 +89,30 @@ def per_op_floor_ms(row: dict, int8: bool = False) -> float:
 # Demonstrated per-section floors (ms) from the optimization ledger — the
 # measured "no lever exists" numbers, NOT naive rooflines. Keyed by
 # (mode, section) for the canonical serving program shape
-# (bs128 @640, identity staging, decode K=100). int8 rows: PERFORMANCE.md
-# r3 25.3 ms table + ledger #22/#23/#26/#27 closures. bf16 rows are added
-# when a ledger entry demonstrates the section's floor (none recorded yet;
-# sections still carry their self-computed naive roofline floor_ms).
+# (bs128 @640, identity staging, decode K=100).
+#
+# METHOD NOTE (r5): rows are xplane-attributed section times (the same
+# SECTION_OF_CATEGORY mapping section_table uses), so vs_recorded reads
+# ~1.0 when nothing has regressed. The r3 hand-built 25.3 ms table
+# attributed some copy/quantize time differently (int8 input read 1.29
+# there vs 1.79 under xplane; totals identical), so int8 rows were
+# re-based r5 under the xplane method; the CLOSURE evidence is unchanged:
+# conv — ledger #26 (single-op Pallas ~floor, no net win) + #27 (fused
+#   whole-block kernels lose in BOTH dtypes: int8 s2 0.66x, bf16 s1
+#   0.39x); XLA's emitters are the demonstrated machine floor here.
+# input — ledger #22 (retiling copy, no lever) + quantize at 2.1x HBM
+#   floor (closed); bf16 has no quantize pass.
+# decode — K=100 two-stage top-k; Pallas decode/NMS measured slower (r1/r2).
+# neck — broadcast-reshape upsample, best-of-3 forms (#23).
 RECORDED_SECTION_FLOORS = {
     ("int8", "conv"): 22.5,
-    ("int8", "input"): 1.29,   # quantize 0.50 (2.1x HBM floor, closed) + copy.42 0.79 (no lever, #22)
-    ("int8", "decode"): 0.65,
-    ("int8", "neck"): 0.41,    # broadcast-reshape upsample, best-of-3 (#23)
+    ("int8", "input"): 1.79,
+    ("int8", "decode"): 0.56,
+    ("int8", "neck"): 0.47,
+    ("bf16", "conv"): 26.2,
+    ("bf16", "input"): 0.23,
+    ("bf16", "decode"): 0.48,
+    ("bf16", "neck"): 0.35,
 }
 
 
