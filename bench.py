@@ -96,7 +96,12 @@ def main():
             from tpucenterface.bench.roofline import roofline_of_fn
 
             fn_, im, hw = serving_fn_and_args()
-            return roofline_of_fn(fn_, (im, hw), iters=3, int8=int8_mode)
+            # this IS the canonical serving shape (bs128 @640, identity
+            # staging, K=100) the ledger's recorded floors were measured on
+            return roofline_of_fn(
+                fn_, (im, hw), iters=3, int8=int8_mode,
+                recorded_floors=True,
+            )
         except Exception as e:  # noqa: BLE001
             print(f"# roofline capture skipped: {e}", file=sys.stderr)
             return None

@@ -99,7 +99,7 @@ def test_section_table_mapping_and_ratios():
         {"category": "weird-new-category", "ms_per_iter": 0.1,
          "gflops_per_iter": 0.0, "gbytes_per_iter": 0.0},
     ]
-    t = section_table(rows, int8=True)
+    t = section_table(rows, int8=True, recorded_floors=True)
     assert set(t) == {"conv", "input", "decode", "neck", "other"}
     assert t["conv"]["ms"] == 20.0
     assert abs(t["conv"]["floor_ms"] - 5.0) < 1e-6
@@ -112,8 +112,16 @@ def test_section_table_mapping_and_ratios():
     assert t["decode"]["ms"] == 0.2 and t["decode"]["ratio"] is None
     # bf16 rows recorded r5 (PERFORMANCE.md floor table): keyed per-mode,
     # so the same section reads a different demonstrated floor in bf16
-    t2 = section_table(rows, int8=False)
+    t2 = section_table(rows, int8=False, recorded_floors=True)
     assert t2["neck"]["recorded_floor_ms"] == 0.35
     assert abs(t2["neck"]["vs_recorded"] - 0.4 / 0.35) < 1e-3
     # a mode/section pair with no recorded row stays absent, no crash
     assert "recorded_floor_ms" not in t2["other"]
+    # the recorded constants are bs128@640-specific: a non-canonical
+    # profile (default recorded_floors=False) must NOT carry them —
+    # a bs32@320 conv section compared against the 22.5 ms canonical
+    # floor would read as "far below the demonstrated floor"
+    t3 = section_table(rows, int8=True)
+    assert "recorded_floor_ms" not in t3["conv"]
+    assert "vs_recorded" not in t3["conv"]
+    assert t3["conv"]["ratio"] == 4.0  # self-computed floors still present

@@ -67,3 +67,72 @@ def test_fetch_exact_nonfinite_tree_does_not_raise():
         np.asarray(out["w"])[np.isfinite(np.asarray(out["w"]))],
         np.array([1.0, 4.0], np.float32),
     )
+
+
+def _with_corrupt_flats(fn):
+    """Run fetch_exact with the FLATS fetch (first _device_get call)
+    rewritten by fn(list_of_rank1_arrays) -> list; the checksum fetch
+    rides through untouched."""
+    from tpucenterface.weights import io as wio
+
+    orig = wio._device_get
+    calls = {"n": 0}
+
+    def corrupt(x):
+        calls["n"] += 1
+        vals = orig(x)
+        if calls["n"] == 1:
+            return fn([np.asarray(v) for v in vals])
+        return vals
+
+    wio._device_get = corrupt
+    return orig, corrupt
+
+
+def test_fetch_exact_nan_injection_raises():
+    """Corruption that injects non-finite bytes into the fetched buffer
+    must NOT disable its own detection: host recompute goes NaN while the
+    device checksum stays finite — finiteness disagreement is corruption."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tpucenterface.weights import io as wio
+
+    tree = {"k": jnp.asarray(np.random.RandomState(2).randn(64), jnp.float32)}
+
+    def inject_nan(vals):
+        vals = [v.copy() for v in vals]
+        vals[0][3] = np.nan
+        return vals
+
+    orig, _ = _with_corrupt_flats(inject_nan)
+    try:
+        with pytest.raises(RuntimeError, match="transfer corruption"):
+            wio.fetch_exact(tree)
+    finally:
+        wio._device_get = orig
+
+
+def test_fetch_exact_catches_lane_aligned_block_reorder():
+    """Raw-tile-order fetch corruption permutes elements while preserving
+    index mod the 128-lane tile width; a power-of-two-periodic checksum
+    weighting would pass it. The period-61 weights must catch a 64-aligned
+    block swap."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tpucenterface.weights import io as wio
+
+    tree = {"k": jnp.asarray(np.random.RandomState(3).randn(256), jnp.float32)}
+
+    def swap_blocks(vals):
+        v = vals[0].copy()
+        v[0:64], v[64:128] = vals[0][64:128].copy(), vals[0][0:64].copy()
+        return [v]
+
+    orig, _ = _with_corrupt_flats(swap_blocks)
+    try:
+        with pytest.raises(RuntimeError, match="transfer corruption"):
+            wio.fetch_exact(tree)
+    finally:
+        wio._device_get = orig

@@ -116,8 +116,17 @@ def profile_detect_program(
         # whole-program MFU / HBM-roofline vs the chip's measured peaks
         "roofline": summarize_rows(rows, int8=int8 or int8_dw),
         # per-section ms + floor ratios (conv/input/decode/neck —
-        # VERDICT r4 #5; bench.py publishes the same fields)
-        "sections": section_table(rows, int8=int8 or int8_dw),
+        # VERDICT r4 #5; bench.py publishes the same fields). The ledger's
+        # recorded floors only attach when this profile IS the canonical
+        # serving shape they were measured on.
+        "sections": section_table(
+            rows,
+            int8=int8 or int8_dw,
+            recorded_floors=(
+                batch == 128 and size == 640 and identity
+                and max_dets == 100
+            ),
+        ),
         "by_category_ms": {
             k: round(v, 3)
             for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])

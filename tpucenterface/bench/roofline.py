@@ -116,13 +116,19 @@ RECORDED_SECTION_FLOORS = {
 }
 
 
-def section_table(rows: Sequence[dict], int8: bool = False) -> Dict[str, dict]:
-    """Per-section {ms, floor_ms, ratio, recorded_floor_ms, vs_recorded}.
+def section_table(
+    rows: Sequence[dict], int8: bool = False, recorded_floors: bool = False
+) -> Dict[str, dict]:
+    """Per-section {ms, floor_ms, ratio[, recorded_floor_ms, vs_recorded]}.
 
     floor_ms is the self-computed per-op roofline floor (per_op_floor_ms
-    summed over the section); vs_recorded compares against the ledger's
-    demonstrated floor where one is recorded. A section whose `ratio`
-    jumps round-over-round is the section that broke.
+    summed over the section) — shape-correct for ANY profiled program.
+    recorded_floors=True additionally compares against the ledger's
+    demonstrated floors; those constants are SPECIFIC to the canonical
+    serving shape (bs128 @640, identity staging, decode K=100), so callers
+    must only set it when profiling that program — attaching them to a
+    bs32@320 profile would publish nonsense vs_recorded ratios. A section
+    whose `ratio` jumps round-over-round is the section that broke.
     """
     mode = "int8" if int8 else "bf16"
     secs: Dict[str, dict] = {}
@@ -136,7 +142,7 @@ def section_table(rows: Sequence[dict], int8: bool = False) -> Dict[str, dict]:
         d["floor_ms"] = round(d["floor_ms"], 3)
         d["ratio"] = round(d["ms"] / d["floor_ms"], 2) if d["floor_ms"] > 0 else None
         rec = RECORDED_SECTION_FLOORS.get((mode, sec))
-        if rec is not None:
+        if recorded_floors and rec is not None:
             d["recorded_floor_ms"] = rec
             d["vs_recorded"] = round(d["ms"] / rec, 3)
     return dict(sorted(secs.items(), key=lambda kv: -kv[1]["ms"]))
@@ -184,10 +190,12 @@ def summarize_rows(
 
 def roofline_of_fn(
     fn, args, iters: int = 3, int8: bool = False,
-    logdir: Optional[str] = None,
+    logdir: Optional[str] = None, recorded_floors: bool = False,
 ) -> Dict[str, object]:
     """Capture a jax.profiler trace of `fn(*args)` and reduce it to the
-    whole-program roofline summary (see summarize_rows)."""
+    whole-program roofline summary (see summarize_rows). Pass
+    recorded_floors=True ONLY for the canonical serving program (see
+    section_table)."""
     import tempfile
 
     from tpucenterface.bench.op_profile import capture_trace, op_profile_table
@@ -196,5 +204,7 @@ def roofline_of_fn(
     paths = capture_trace(fn, args, logdir, iters=iters)
     rows = op_profile_table(paths, iters=iters)
     out = summarize_rows(rows, int8=int8)
-    out["sections"] = section_table(rows, int8=int8)
+    out["sections"] = section_table(
+        rows, int8=int8, recorded_floors=recorded_floors
+    )
     return out

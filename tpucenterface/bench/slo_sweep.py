@@ -202,10 +202,16 @@ def slo_sweep(
         "lone_request": lone,
         "loaded": points,
     }
-    # the environment constant at the lone-request launch size (the
-    # smallest ladder rung that fits request_bs): subtract from any
-    # percentile to read engine-only latency
-    out.update(measure_env_h2d(hw, request_bs))
+    # the environment constant at the lone-request LAUNCH size — the
+    # smallest ladder rung that fits request_bs (the engine pads every
+    # launch to a rung; default ladder {device_batch//4, device_batch}),
+    # NOT request_bs itself: a request below the smallest rung still
+    # transfers the full padded rung buffer. Subtract from any percentile
+    # to read engine-only latency.
+    rungs = sorted({max(1, device_batch // 4), device_batch})
+    launch_bs = next((b for b in rungs if b >= request_bs), device_batch)
+    out["env_h2d_launch_bs"] = launch_bs
+    out.update(measure_env_h2d(hw, launch_bs))
     return out
 
 

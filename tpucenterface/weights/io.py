@@ -22,9 +22,32 @@ from tpucenterface.config import ModelConfig
 _device_get = jax.device_get
 
 
+@jax.jit
+def _stage(ls):
+    """Ravel + checksum each leaf on device, in one jitted program.
+
+    Module-level (not a per-call closure) so jax.jit's cache hits across
+    repeated exports of the same tree structure — a checkpoint cadence
+    would otherwise pay a full retrace+recompile of this
+    several-hundred-leaf program on every save."""
+    flats = [jnp.ravel(x) for x in ls]
+    checks = [
+        jnp.sum(f.astype(jnp.float32) * _checksum_weights(f.size, jnp))
+        for f in flats
+    ]
+    return flats, checks
+
+
 def _checksum_weights(n: int, xp):
-    """Order-sensitive checksum weights, identical on device and host."""
-    return (xp.arange(n, dtype=xp.int32) % 64 + 1).astype(xp.float32)
+    """Order-sensitive checksum weights, identical on device and host.
+
+    Period 61, not a power of two: a de-layout bug returning raw
+    (8,128)-tiled bytes permutes elements while PRESERVING index mod any
+    divisor of the 128-lane tile width, so a 64-periodic weighting would
+    pass that whole corruption class unchanged. 61 is coprime to every
+    tile/lane dimension on the hardware (8, 128, 512), so any such block
+    reorder decorrelates the weighted sum."""
+    return (xp.arange(n, dtype=xp.int32) % 61 + 1).astype(xp.float32)
 
 
 def fetch_exact(tree):
@@ -49,21 +72,11 @@ def fetch_exact(tree):
          against the host recompute, so residual transfer corruption
          raises instead of silently exporting a broken artifact.
     """
-    import jax.numpy as jnp
-
     leaves, treedef = jax.tree.flatten(tree)
     if not leaves:
         return tree
 
-    def _stage(ls):
-        flats = [jnp.ravel(x) for x in ls]
-        checks = [
-            jnp.sum(f.astype(jnp.float32) * _checksum_weights(f.size, jnp))
-            for f in flats
-        ]
-        return flats, checks
-
-    flats, checks = jax.jit(_stage)(leaves)
+    flats, checks = _stage(leaves)
     host_flats = _device_get(flats)
     host_checks = _device_get(checks)
     out = []
@@ -77,13 +90,24 @@ def fetch_exact(tree):
         # accumulation skew; a scrambled fetch decorrelates the weighted
         # sum by O(1) relative, far outside this band
         tol = 1e-2 * max(abs(expect), abs(got), 1.0)
-        if not np.isfinite(expect):
-            # non-finite leaf (e.g. checkpointing a diverged run for
+        if not np.isfinite(expect) or not np.isfinite(got):
+            if np.isfinite(expect) != np.isfinite(got):
+                # finiteness DISAGREES across the two fetches: one side
+                # saw non-finite bytes the other did not — that is
+                # transfer corruption, not a diverged run (a genuinely
+                # non-finite leaf makes BOTH checksums non-finite)
+                raise RuntimeError(
+                    "fetch_exact: device->host transfer corruption "
+                    f"detected (leaf shape {np.shape(leaf)}, device "
+                    f"checksum {got}, host recompute {expect}) — "
+                    "refusing to export"
+                )
+            # both non-finite (e.g. checkpointing a diverged run for
             # forensics): order-sensitive verification is impossible —
             # keep the 1-D-fetched data, which is already layout-proof
             out.append(a.reshape(np.shape(leaf)))
             continue
-        if not (np.isfinite(got) and abs(expect - got) <= tol):
+        if abs(expect - got) > tol:
             raise RuntimeError(
                 "fetch_exact: device->host transfer corruption detected "
                 f"(leaf shape {np.shape(leaf)}, device checksum {got}, "
