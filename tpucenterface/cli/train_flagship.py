@@ -68,6 +68,7 @@ def flagship_train_cfg(args, n_train: int):
         grad_clip_norm=args.grad_clip,
         max_objs=32,
         freeze_bn_steps=args.freeze_bn,
+        with_landmarks=getattr(args, "landmarks", False),
     )
 
 
@@ -99,6 +100,12 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument(
+        "--landmarks", action="store_true",
+        help="train the optional 5-point landmark head (CenterFace-style) "
+        "on the generator's exact feature coordinates; the report gains a "
+        "landmark NME row (eval.synth_eval.landmark_nme)",
+    )
+    p.add_argument(
         "--resume-split", type=float, default=0.5,
         help="fraction of steps before a deliberate stop+resume (0 = one "
         "uninterrupted run); exercises checkpoint restore at real shapes",
@@ -123,7 +130,7 @@ def main(argv=None) -> int:
 
     from tpucenterface.config import ModelConfig
 
-    model_cfg = ModelConfig()  # default width — the flagship
+    model_cfg = ModelConfig(with_landmarks=args.landmarks)  # default width
     tcfg = flagship_train_cfg(args, len(train_recs))
 
     log_path = os.path.join(args.workdir, "log.jsonl")
@@ -179,6 +186,8 @@ def main(argv=None) -> int:
         "wall_s": None,
         "ap": {},
     }
+    if args.landmarks:
+        report["nme"] = {}
     for name in ("model", "model_ema"):
         path = os.path.join(args.workdir, f"{name}.safetensors")
         if not os.path.exists(path):
@@ -189,6 +198,19 @@ def main(argv=None) -> int:
         print(
             f"{name}: " + "  ".join(f"{k} {v:.4f}" for k, v in aps.items())
         )
+        if args.landmarks:
+            from tpucenterface.eval.synth_eval import landmark_nme
+
+            # faces below ~25 px have landmark spacing near the stride-4
+            # grid pitch — report NME where the metric is meaningful
+            nme = landmark_nme(
+                det, val_recs, size=args.input_size, min_side=25.0
+            )
+            report["nme"][name] = nme
+            print(
+                f"{name}: landmark NME {nme['nme']:.4f} "
+                f"(match {nme['match_rate']:.3f} of {nme['faces']} faces)"
+            )
     report["wall_s"] = time.time() - t0
     with open(os.path.join(args.workdir, "flagship_report.json"), "w") as f:
         json.dump(report, f, indent=1)

@@ -252,6 +252,11 @@ class TrainConfig:
     wh_weight: float = 0.1
     off_weight: float = 1.0
     lm_weight: float = 0.1
+    # render landmark regression targets from record GT (requires records
+    # with a landmarks field, e.g. data.synth; pair with
+    # ModelConfig.with_landmarks so the head exists to train). Records
+    # without landmarks contribute lm_mask=0 rows — boxes still train.
+    with_landmarks: bool = False
     focal_alpha: float = 2.0
     focal_beta: float = 4.0
     max_objs: int = 128          # per-image cap on rendered GT boxes

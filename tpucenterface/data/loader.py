@@ -34,10 +34,27 @@ def build_sample(
         if img is None:
             return None
     boxes = rec.xyxy[~rec.invalid] if len(rec.boxes) else rec.xyxy
-    canvas, boxes = augment_train(img, boxes, cfg, rng)
-    t = make_targets(
-        boxes, cfg.input_size, stride=4, max_objs=cfg.max_objs, wh_log=wh_log
-    )
+    if not cfg.with_landmarks:
+        canvas, boxes = augment_train(img, boxes, cfg, rng)
+        t = make_targets(
+            boxes, cfg.input_size, stride=4, max_objs=cfg.max_objs,
+            wh_log=wh_log,
+        )
+    else:
+        # records without landmark GT still train boxes: NaN rows render
+        # as lm_mask=0 in make_targets, so the lm head just gets no signal
+        lms = rec.landmarks
+        if lms is None:
+            lms = np.full((len(rec.boxes), 10), np.nan, np.float32)
+        if len(rec.boxes):
+            lms = lms[~rec.invalid]
+        canvas, boxes, lms = augment_train(
+            img, boxes, cfg, rng, landmarks=lms
+        )
+        t = make_targets(
+            boxes, cfg.input_size, stride=4, max_objs=cfg.max_objs,
+            wh_log=wh_log, landmarks=lms,
+        )
     t["image"] = canvas  # uint8; normalization is device-side in train.step
     return t
 

@@ -51,15 +51,35 @@ def _rot(deg: float) -> np.ndarray:
     )
 
 
+# 5-point landmark positions in the renderer's face frame (fx across
+# width, fy down height, both in [-1, 1]) — the EXACT coordinates
+# _draw_face paints the features at: eye centers, nose tip (where the
+# nose-shadow line ends), mouth-ellipse corners. Order matches
+# DecodeConfig.lm_flip_perm: [left eye, right eye, nose, left mouth
+# corner, right mouth corner], image-left first.
+_LM_FACE_FRAME = np.array(
+    [
+        (-0.38, -0.18),  # left eye
+        (0.38, -0.18),   # right eye
+        (0.0, 0.12),     # nose tip
+        (-0.26, 0.48),   # left mouth corner
+        (0.26, 0.48),    # right mouth corner
+    ],
+    np.float32,
+)
+
+
 def _draw_face(
     img: np.ndarray,
     cx: float,
     cy: float,
     size: float,
     rng: np.random.RandomState,
-) -> np.ndarray:
+) -> Tuple[np.ndarray, np.ndarray]:
     """Draw one procedural face centered at (cx, cy); `size` is the head
-    height in pixels. Returns the tight xyxy bbox of the head ellipse."""
+    height in pixels. Returns (tight xyxy bbox of the head ellipse,
+    (10,) landmark GT — the sub-pixel image coordinates of the rendered
+    eye/nose/mouth features, _LM_FACE_FRAME through the same rotation)."""
     angle = rng.uniform(-28.0, 28.0)
     R = _rot(angle)
     h2 = size / 2.0
@@ -129,7 +149,14 @@ def _draw_face(
     # tight bbox of the rotated head ellipse
     ew = np.hypot(w2 * np.cos(np.deg2rad(angle)), h2 * np.sin(np.deg2rad(angle)))
     eh = np.hypot(w2 * np.sin(np.deg2rad(angle)), h2 * np.cos(np.deg2rad(angle)))
-    return np.array([cx - ew, cy - eh, cx + ew, cy + eh], np.float32)
+    box = np.array([cx - ew, cy - eh, cx + ew, cy + eh], np.float32)
+    # landmark GT: face-frame points through the SAME rotation the features
+    # were painted with, sub-pixel (fpt()'s int rounding is a paint detail)
+    lm = (
+        _LM_FACE_FRAME * np.array([w2, h2], np.float32) @ R.T
+        + np.array([cx, cy], np.float32)
+    ).astype(np.float32)
+    return box, lm.reshape(-1)
 
 
 def _draw_distractors(
@@ -176,10 +203,14 @@ def render_scene(
     max_faces: int = 12,
     min_face: float = 14.0,
     occlusion_prob: float = 0.3,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return_landmarks: bool = False,
+) -> Tuple[np.ndarray, ...]:
     """Render one scene -> (uint8 BGR image, boxes (N,4) x,y,w,h WIDER
-    layout, invalid (N,) bool). Faces occluded beyond ~55% of their area
-    are flagged invalid (WIDER's ignore convention for unmatchable GT)."""
+    layout, invalid (N,) bool[, landmarks (N,10) when return_landmarks]).
+    Faces occluded beyond ~55% of their area are flagged invalid (WIDER's
+    ignore convention for unmatchable GT). Landmarks are the renderer's
+    exact feature coordinates (see _LM_FACE_FRAME); requesting them does
+    not change the RNG stream, so scenes are bit-identical either way."""
     h, w = hw
     # background: vertical/diagonal gradient + noise + soft blobs
     g0, g1 = rng.uniform(20, 160, 3), rng.uniform(20, 160, 3)
@@ -197,6 +228,7 @@ def render_scene(
         anchors = rng.uniform([0.2 * w, 0.2 * h], [0.8 * w, 0.8 * h], (2, 2))
 
     boxes: List[np.ndarray] = []
+    lms: List[np.ndarray] = []
     occluded_frac: List[float] = []
     max_face = 0.55 * min(h, w)
     for _ in range(n_faces):
@@ -210,8 +242,9 @@ def render_scene(
         else:
             cx = rng.uniform(size * 0.5, w - size * 0.5)
             cy = rng.uniform(size * 0.5, h - size * 0.5)
-        box = _draw_face(img, cx, cy, size, rng)
+        box, lm = _draw_face(img, cx, cy, size, rng)
         boxes.append(box)
+        lms.append(lm)
         occluded_frac.append(0.0)
 
     # partial occlusion: bars/shapes drawn over some faces AFTER all faces
@@ -248,6 +281,8 @@ def render_scene(
     wider = xyxy.copy()
     wider[:, 2:4] = xyxy[:, 2:4] - xyxy[:, 0:2]  # x,y,w,h
     invalid = np.array([f > 0.5 for f in occluded_frac], bool)
+    if return_landmarks:
+        return img, wider, invalid, np.stack(lms).astype(np.float32)
     return img, wider, invalid
 
 
@@ -289,15 +324,20 @@ def generate_dataset(
     meta_path = os.path.join(ev_dir, f".meta_{event}_{key}_{n_images}.npz")
     if not force and os.path.exists(meta_path):
         meta = np.load(meta_path, allow_pickle=True)
-        rels = [str(r) for r in meta["rels"]]
-        if all(os.path.exists(os.path.join(out_dir, r)) for r in rels):
-            return [
-                WiderImage(
-                    os.path.join(out_dir, rel), rel,
-                    meta["boxes"][i], meta["invalid"][i],
-                )
-                for i, rel in enumerate(rels)
-            ]
+        # sidecars written before landmark support lack "lms": treat as a
+        # cache miss (scenes are deterministic, so the re-render below
+        # recovers identical boxes AND the landmarks; same-key jpgs reused)
+        if "lms" in meta:
+            rels = [str(r) for r in meta["rels"]]
+            if all(os.path.exists(os.path.join(out_dir, r)) for r in rels):
+                return [
+                    WiderImage(
+                        os.path.join(out_dir, rel), rel,
+                        meta["boxes"][i], meta["invalid"][i],
+                        landmarks=meta["lms"][i],
+                    )
+                    for i, rel in enumerate(rels)
+                ]
 
     records: List[WiderImage] = []
     for i in range(n_images):
@@ -308,18 +348,20 @@ def generate_dataset(
         w = int(rng.uniform(*hw_range))
         rel = f"{event}/{event}_{key}_{i:05d}.jpg"
         path = os.path.join(out_dir, rel)
-        img, boxes, invalid = render_scene(
-            rng, (h, w), max_faces=max_faces, min_face=min_face
+        img, boxes, invalid, lms = render_scene(
+            rng, (h, w), max_faces=max_faces, min_face=min_face,
+            return_landmarks=True,
         )
         if force or not os.path.exists(path):
             cv2.imwrite(
                 path, img, [int(cv2.IMWRITE_JPEG_QUALITY), jpg_quality]
             )
-        records.append(WiderImage(path, rel, boxes, invalid))
+        records.append(WiderImage(path, rel, boxes, invalid, landmarks=lms))
     np.savez(
         meta_path,
         rels=np.array([r.rel_path for r in records], dtype=object),
         boxes=np.array([r.boxes for r in records], dtype=object),
         invalid=np.array([r.invalid for r in records], dtype=object),
+        lms=np.array([r.landmarks for r in records], dtype=object),
     )
     return records

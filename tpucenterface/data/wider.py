@@ -23,6 +23,12 @@ class WiderImage:
     rel_path: str          # event/img.jpg relative path
     boxes: np.ndarray      # (N, 4) float32 x1,y1,w,h (WIDER native layout)
     invalid: np.ndarray    # (N,) bool — annotation flagged invalid
+    # optional 5-point landmarks, (N, 10) float32 x1,y1,...,x5,y5 in image
+    # pixels, point order [left eye, right eye, nose, left mouth corner,
+    # right mouth corner] (image-left; DecodeConfig.lm_flip_perm pairs).
+    # None when the annotation source has no landmarks (WIDER bbx_gt);
+    # NaN rows mark faces whose landmarks are unknown/unusable.
+    landmarks: "np.ndarray | None" = None
 
     @property
     def xyxy(self) -> np.ndarray:

@@ -28,12 +28,24 @@ DEFAULT_SPLITS: Tuple[Tuple[str, float], ...] = (
 )
 
 
+def _imread(path: str) -> np.ndarray:
+    """Decode in STORED pixel orientation (EXIF orientation ignored).
+
+    cv2.imread applies EXIF rotation by default, which would disagree with
+    both the header-only shape pass below (PIL's im.size is the stored
+    size) and WIDER-style GT boxes, which live in stored pixel space."""
+    img = cv2.imread(path, cv2.IMREAD_IGNORE_ORIENTATION | cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img
+
+
 def _image_shape(path: str) -> Tuple[int, int]:
     """(h, w) of an image file WITHOUT decoding pixels where possible.
 
     PIL's lazy open reads only the header (microseconds/file); the cv2
     fallback decodes once and discards — still bounded memory, just slower.
-    """
+    Both report the STORED dimensions (see _imread)."""
     try:
         from PIL import Image
 
@@ -41,9 +53,7 @@ def _image_shape(path: str) -> Tuple[int, int]:
             w, h = im.size
         return int(h), int(w)
     except Exception:
-        img = cv2.imread(path)
-        if img is None:
-            raise FileNotFoundError(path)
+        img = _imread(path)
         return int(img.shape[0]), int(img.shape[1])
 
 
@@ -61,11 +71,6 @@ def ap_on_records(
     (det.config.default_size when None). Batched via detect_batch over
     host-padded images of one shape per call for device efficiency.
     """
-    dets: List[np.ndarray] = []
-    gts: List[np.ndarray] = []
-    sides: List[np.ndarray] = []
-    valid: List[np.ndarray] = []
-
     # ONE canvas shape for the whole eval: every image zero-padded to the
     # global max padded (H, W). The device letterbox scales from the true
     # per-image (h, w), so results match per-image dispatch exactly while
@@ -78,6 +83,17 @@ def ap_on_records(
     # its own images, so peak host RSS is one padded batch, not the whole
     # set. At WIDER-val scale (3,226 mixed-size images) holding every
     # decoded frame was ~3+ GB.
+    dets: List[np.ndarray] = []
+    for d in _detect_records(det, records, size, score_thresh, batch):
+        dets.append(np.concatenate(
+            [d.boxes.reshape(-1, 4), d.scores.reshape(-1, 1)], axis=1
+        ))
+    return score_detections(dets, records, splits)
+
+
+def _detect_records(det, records, size, score_thresh, batch):
+    """Yield one Detections per record, streaming decoded images in
+    batch-sized chunks (the shared product-path eval loop)."""
     from tpucenterface.config import INPUT_PAD_MULTIPLE
 
     hws: List[Tuple[int, int]] = [_image_shape(rec.path) for rec in records]
@@ -85,15 +101,12 @@ def ap_on_records(
     hp = max(-(-h // m) * m for h, _ in hws)
     wp = max(-(-w // m) * m for _, w in hws)
 
-    results: Dict[int, np.ndarray] = {}
     for s in range(0, len(records), batch):
         chunk = list(range(s, min(s + batch, len(records))))
         stack = np.zeros((batch, hp, wp, 3), np.uint8)
         chw = np.full((batch, 2), (hp, wp), np.int32)
         for j, i in enumerate(chunk):
-            img = cv2.imread(records[i].path)
-            if img is None:
-                raise FileNotFoundError(records[i].path)
+            img = _imread(records[i].path)
             h, w = img.shape[:2]
             assert (h, w) == tuple(hws[i]), (records[i].path, (h, w), hws[i])
             stack[j, :h, :w] = img
@@ -101,15 +114,8 @@ def ap_on_records(
         outs = det.detect_batch(
             stack, hws=chw, score_thresh=score_thresh, size=size
         )
-        for j, i in enumerate(chunk):  # dummy pad rows beyond chunk dropped
-            d = outs[j]
-            results[i] = np.concatenate(
-                [d.boxes.reshape(-1, 4), d.scores.reshape(-1, 1)], axis=1
-            )
-
-    for i in range(len(records)):
-        dets.append(results[i])
-    return score_detections(dets, records, splits)
+        for j, _ in enumerate(chunk):  # dummy pad rows beyond chunk dropped
+            yield outs[j]
 
 
 def score_detections(
@@ -145,22 +151,96 @@ def ap_on_records_tta(
     """AP per difficulty split using the production TTA path
     (eval/batch_runner.batched_detect_tta: bucketed batches, device-side
     flip, host NMS merge) — the accuracy-value measurement for SURVEY §3.3
-    config #3 on the flagship model (VERDICT r4 task 7)."""
-    imgs = [cv2.imread(rec.path) for rec in records]
-    for rec, img in zip(records, imgs):
-        if img is None:
-            raise FileNotFoundError(rec.path)
+    config #3 on the flagship model (VERDICT r4 task 7).
 
+    Memory discipline matches ap_on_records: records are decoded in
+    bounded chunks (a few TTA batches at a time), not all at once — this
+    path faces WIDER-val scale (3,226 mixed-size images, ~3+ GB decoded).
+    Chunking is per-image-independent, so results are identical to one
+    whole-set call; only the bucket packing granularity changes."""
     from tpucenterface.eval.batch_runner import batched_detect_tta
 
-    outs = batched_detect_tta(
-        det, imgs, scales=scales, flip=flip,
-        score_thresh=score_thresh, batch_size=batch,
-    )
-    dets = [
-        np.concatenate(
-            [d.boxes.reshape(-1, 4), d.scores.reshape(-1, 1)], axis=1
+    chunk_imgs = max(4 * batch, 256)
+    dets: List[np.ndarray] = []
+    for s in range(0, len(records), chunk_imgs):
+        imgs = [_imread(rec.path) for rec in records[s:s + chunk_imgs]]
+        outs = batched_detect_tta(
+            det, imgs, scales=scales, flip=flip,
+            score_thresh=score_thresh, batch_size=batch,
         )
-        for d in outs
-    ]
+        dets.extend(
+            np.concatenate(
+                [d.boxes.reshape(-1, 4), d.scores.reshape(-1, 1)], axis=1
+            )
+            for d in outs
+        )
     return score_detections(dets, records, splits)
+
+
+def landmark_nme(
+    det,
+    records: Sequence[WiderImage],
+    size: Optional[int] = None,
+    score_thresh: float = 0.3,
+    iou_thresh: float = 0.5,
+    min_side: float = 0.0,
+    batch: int = 16,
+) -> Dict[str, float]:
+    """Normalized mean landmark error over IoU-matched faces.
+
+    The standard 5-point detector metric (RetinaFace-style): for every
+    VALID GT face with known landmarks (and min box side >= min_side in
+    original pixels), take the highest-scoring detection with IoU >=
+    iou_thresh and average the 5 point distances, normalized by
+    sqrt(gt_w * gt_h) (bbox-size normalization — robust where interocular
+    distance degenerates on rotated/profile faces). Unmatched faces are
+    excluded from the NME mean but reported via match_rate, so a detector
+    cannot improve its NME by missing hard faces silently.
+
+    Returns {"nme": mean normalized error, "match_rate": matched/eligible,
+    "faces": eligible face count}. NaN nme when nothing matched.
+    """
+    errs: List[float] = []
+    eligible = matched = 0
+    for rec, d in zip(records, _detect_records(det, records, size,
+                                               score_thresh, batch)):
+        if rec.landmarks is None or not len(rec.boxes):
+            continue
+        gt = rec.xyxy.astype(np.float64)
+        keep = ~rec.invalid & ~np.isnan(rec.landmarks).any(axis=1)
+        if min_side > 0:
+            keep &= rec.boxes[:, 2:4].min(axis=1) >= min_side
+        if not keep.any():
+            continue
+        boxes = d.boxes.reshape(-1, 4).astype(np.float64)
+        lms = (
+            None if d.landmarks is None
+            else d.landmarks.reshape(-1, 5, 2).astype(np.float64)
+        )
+        for gi in np.flatnonzero(keep):
+            eligible += 1
+            if lms is None or not len(boxes):
+                continue
+            g = gt[gi]
+            ix1 = np.maximum(boxes[:, 0], g[0])
+            iy1 = np.maximum(boxes[:, 1], g[1])
+            ix2 = np.minimum(boxes[:, 2], g[2])
+            iy2 = np.minimum(boxes[:, 3], g[3])
+            inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+            area_d = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+            area_g = (g[2] - g[0]) * (g[3] - g[1])
+            iou = inter / np.maximum(area_d + area_g - inter, 1e-9)
+            cand = np.flatnonzero(iou >= iou_thresh)
+            if not len(cand):
+                continue
+            # detections come score-descending: first candidate wins
+            di = int(cand[0])
+            matched += 1
+            gpts = rec.landmarks[gi].reshape(5, 2).astype(np.float64)
+            dist = np.linalg.norm(lms[di] - gpts, axis=1).mean()
+            errs.append(float(dist / np.sqrt(max(area_g, 1e-9))))
+    return {
+        "nme": float(np.mean(errs)) if errs else float("nan"),
+        "match_rate": matched / eligible if eligible else 0.0,
+        "faces": eligible,
+    }
