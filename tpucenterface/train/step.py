@@ -196,7 +196,7 @@ def make_dummy_batch(
     hm = jnp.zeros((batch, h, w, 1), jnp.float32).at[:, h // 2, w // 2, 0].set(1.0)
     ind = jnp.zeros((batch, m), jnp.int32).at[:, 0].set((h // 2) * w + w // 2)
     mask = jnp.zeros((batch, m), jnp.float32).at[:, 0].set(1.0)
-    return {
+    out = {
         "image": jnp.zeros((batch, size, size, 3), jnp.float32),
         "hm": hm,
         "ind": ind,
@@ -204,3 +204,7 @@ def make_dummy_batch(
         "wh": jnp.ones((batch, m, 2), jnp.float32) * 2.0 * mask[..., None],
         "off": jnp.ones((batch, m, 2), jnp.float32) * 0.3 * mask[..., None],
     }
+    if train_cfg.with_landmarks:
+        out["lm"] = jnp.ones((batch, m, 10), jnp.float32) * 0.5 * mask[..., None]
+        out["lm_mask"] = mask
+    return out
