@@ -494,3 +494,38 @@ def test_train_loop_freeze_bn_boundary(tiny_dataset, tmp_path):
         state2.batch_stats,
         stats_at_freeze,
     )
+
+
+def test_compile_retry_on_transient_relay_error():
+    """Transient remote-compile RPC failures retry; everything else raises
+    immediately (execution-phase errors may have consumed donated buffers)."""
+    from tpucenterface.train.loop import call_with_compile_retry
+
+    calls = {"n": 0}
+    sleeps = []
+
+    def flaky(x):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise jax.errors.JaxRuntimeError(
+                "INTERNAL: http://127.0.0.1:8093/remote_compile: read body:"
+                " response body closed before all bytes were read"
+            )
+        return x + 1
+
+    assert call_with_compile_retry(flaky, 41, _sleep=sleeps.append) == 42
+    assert calls["n"] == 3 and len(sleeps) == 2
+
+    # retries exhausted -> the transient error propagates
+    calls["n"] = -10
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        call_with_compile_retry(flaky, 0, retries=2, _sleep=sleeps.append)
+
+    # non-compile-phase runtime errors are NOT retried
+    def exec_fail(x):
+        calls["exec"] = calls.get("exec", 0) + 1
+        raise jax.errors.JaxRuntimeError("INTERNAL: buffer was deleted")
+
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        call_with_compile_retry(exec_fail, 0, _sleep=sleeps.append)
+    assert calls["exec"] == 1

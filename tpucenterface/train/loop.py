@@ -85,6 +85,35 @@ def export_weights(workdir: str, state: TrainState, name: str = "model.safetenso
     return path
 
 
+def _is_transient_compile_error(e: Exception) -> bool:
+    """True for the axon relay's transient remote-compile RPC failures.
+
+    Measured failure mode (r5): a long TPU run dies at a recompile
+    boundary (e.g. the FrozenBN step-fn swap) with
+    `JaxRuntimeError: INTERNAL: http://...:.../remote_compile: read body:
+    response body closed before all bytes were read` — the relay dropped
+    one compile RPC; the program and train state are untouched (failure
+    is pre-execution, so no donated buffer was consumed). Retrying the
+    step re-issues the compile. Scoped narrowly to compile-phase relay
+    errors: execution-phase failures are NOT retried (donation may have
+    invalidated inputs) and re-raise immediately.
+    """
+    msg = str(e)
+    return "remote_compile" in msg or "remote_setup" in msg
+
+
+def call_with_compile_retry(fn, *args, retries: int = 2, _sleep=time.sleep):
+    """Call fn(*args), retrying (with backoff) only on transient
+    compile-phase relay errors — see _is_transient_compile_error."""
+    for attempt in range(retries + 1):
+        try:
+            return fn(*args)
+        except jax.errors.JaxRuntimeError as e:
+            if attempt >= retries or not _is_transient_compile_error(e):
+                raise
+            _sleep(2.0 * (attempt + 1))
+
+
 def train(
     records: Sequence,
     model_cfg: ModelConfig = ModelConfig(),
@@ -162,7 +191,7 @@ def train(
     for batch in prefetch_to_device(batches, size=2, sharding=batch_sharding(mesh)):
         if step >= total_steps:
             break
-        state, metrics = step_for(step)(state, batch)
+        state, metrics = call_with_compile_retry(step_for(step), state, batch)
         step += 1
         if log_fn is not None and step % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}  # device fetch here
