@@ -343,3 +343,53 @@ def test_tiny_landmark_training_learns(tmp_path):
         # 150 CPU steps: demand coherence (error below ~half the box
         # diagonal), not convergence
         assert r["nme"] < 0.6, r
+
+    # same metric through the production TTA path (flip merge un-mirrors
+    # and pair-swaps landmarks device-side) — eligible-face count must
+    # match the single-scale pass; coherence bound as above
+    r_tta = landmark_nme(
+        det, recs, score_thresh=0.05, tta=True, scales=(0.75,), batch=8
+    )
+    assert r_tta["faces"] == r["faces"]
+    if r_tta["match_rate"] > 0:
+        assert r_tta["nme"] < 0.6, r_tta
+
+
+def test_parse_retinaface_gt(tmp_path):
+    """RetinaFace label.txt (the CenterFace family's landmark GT source):
+    landmark triplets parsed with flags dropped, -1 rows -> NaN, box-only
+    lines -> NaN, box-only images -> landmarks carried as NaN rows, and a
+    landmark-free file -> landmarks None."""
+    from tpucenterface.data.wider import parse_retinaface_gt
+
+    label = tmp_path / "label.txt"
+    label.write_text(
+        "# 0--Parade/0_Parade_1.jpg\n"
+        "449 330 122 149 488.9 373.6 0.0 542.0 376.4 0.0 515.0 412.8 0.0 "
+        "485.3 423.0 0.0 538.3 431.4 0.0 0.82\n"
+        "10 20 30 40 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1 -1\n"
+        "5 5 0 0 1 1 1 1 1 1 1 1 1 1 1 1 1 1 1 1\n"  # degenerate box dropped
+        "# 1--Handshaking/1_Handshaking_2.jpg\n"
+        "1 2 3 4\n"
+    )
+    recs = parse_retinaface_gt(str(label), str(tmp_path))
+    assert [r.rel_path for r in recs] == [
+        "0--Parade/0_Parade_1.jpg", "1--Handshaking/1_Handshaking_2.jpg",
+    ]
+    r0 = recs[0]
+    assert r0.boxes.shape == (2, 4) and not r0.invalid.any()
+    np.testing.assert_allclose(r0.boxes[0], [449, 330, 122, 149])
+    np.testing.assert_allclose(
+        r0.landmarks[0],
+        [488.9, 373.6, 542.0, 376.4, 515.0, 412.8, 485.3, 423.0, 538.3, 431.4],
+        rtol=1e-6,
+    )
+    assert np.isnan(r0.landmarks[1]).all()  # -1 marker row
+    r1 = recs[1]
+    assert r1.boxes.shape == (1, 4) and r1.landmarks is None
+
+    # box-only file everywhere -> every record landmark-free
+    label2 = tmp_path / "val_label.txt"
+    label2.write_text("# a/b.jpg\n1 2 30 40\n")
+    (r2,) = parse_retinaface_gt(str(label2), str(tmp_path))
+    assert r2.landmarks is None and r2.boxes.shape == (1, 4)

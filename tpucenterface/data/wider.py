@@ -75,6 +75,69 @@ def parse_bbx_gt(
     return out
 
 
+def parse_retinaface_gt(
+    label_file: str, images_root: str, min_size: float = 0.0
+) -> List[WiderImage]:
+    """Parse the RetinaFace-distribution `label.txt` (the standard WIDER
+    train annotation carrying 5-point landmarks — the GT source the
+    CenterFace family trains its landmark head on; SURVEY.md §2 C3/C7).
+
+    Format: repeated blocks of
+        # <event>/<img>.jpg
+        x y w h  px1 py1 f1  px2 py2 f2  ...  px5 py5 f5  conf
+    One face per line; 4 tokens means box-only (val-style). A face whose
+    landmark coords are all negative (the file's "no annotation" marker)
+    gets a NaN landmark row — the loader renders lm_mask=0 for it, so it
+    still trains boxes. Point order in the file is already the canonical
+    [left eye, right eye, nose, left mouth, right mouth].
+    """
+    out: List[WiderImage] = []
+    rel = None
+    boxes: List[List[float]] = []
+    lms: List[np.ndarray] = []
+
+    def flush():
+        if rel is None:
+            return
+        b = np.asarray(boxes, np.float32).reshape(-1, 4)
+        lm = np.asarray(lms, np.float32).reshape(-1, 10)
+        out.append(
+            WiderImage(
+                path=os.path.join(images_root, rel),
+                rel_path=rel,
+                boxes=b,
+                invalid=np.zeros((len(b),), bool),
+                landmarks=lm if not np.isnan(lm).all() else None,
+            )
+        )
+
+    with open(label_file, "r") as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln:
+                continue
+            if ln.startswith("#"):
+                flush()
+                rel = ln.lstrip("#").strip()
+                boxes, lms = [], []
+                continue
+            vals = [float(v) for v in ln.split()]
+            x, y, w, h = vals[:4]
+            if not (w > min_size and h > min_size):
+                continue
+            boxes.append([x, y, w, h])
+            if len(vals) >= 19:
+                # 5 x (px, py, flag): drop every third (annotator flag)
+                pts = np.asarray(vals[4:19], np.float32).reshape(5, 3)[:, :2]
+                if (pts < 0).all():  # "-1 -1 ... " = no landmark annotation
+                    pts = np.full((5, 2), np.nan, np.float32)
+                lms.append(pts.reshape(-1))
+            else:
+                lms.append(np.full((10,), np.nan, np.float32))
+    flush()
+    return out
+
+
 def iter_event_images(val_images_root: str) -> Iterator[str]:
     """Yield event/img.jpg relative paths by walking the val images tree."""
     for event in sorted(os.listdir(val_images_root)):

@@ -158,23 +158,29 @@ def ap_on_records_tta(
     path faces WIDER-val scale (3,226 mixed-size images, ~3+ GB decoded).
     Chunking is per-image-independent, so results are identical to one
     whole-set call; only the bucket packing granularity changes."""
+    dets = [
+        np.concatenate(
+            [d.boxes.reshape(-1, 4), d.scores.reshape(-1, 1)], axis=1
+        )
+        for d in _detect_records_tta(
+            det, records, scales, flip, score_thresh, batch
+        )
+    ]
+    return score_detections(dets, records, splits)
+
+
+def _detect_records_tta(det, records, scales, flip, score_thresh, batch):
+    """Yield one TTA-merged Detections per record, streaming decoded images
+    in bounded chunks (shared by ap_on_records_tta and landmark_nme)."""
     from tpucenterface.eval.batch_runner import batched_detect_tta
 
     chunk_imgs = max(4 * batch, 256)
-    dets: List[np.ndarray] = []
     for s in range(0, len(records), chunk_imgs):
         imgs = [_imread(rec.path) for rec in records[s:s + chunk_imgs]]
-        outs = batched_detect_tta(
+        yield from batched_detect_tta(
             det, imgs, scales=scales, flip=flip,
             score_thresh=score_thresh, batch_size=batch,
         )
-        dets.extend(
-            np.concatenate(
-                [d.boxes.reshape(-1, 4), d.scores.reshape(-1, 1)], axis=1
-            )
-            for d in outs
-        )
-    return score_detections(dets, records, splits)
 
 
 def landmark_nme(
@@ -185,8 +191,17 @@ def landmark_nme(
     iou_thresh: float = 0.5,
     min_side: float = 0.0,
     batch: int = 16,
+    tta: bool = False,
+    scales: Sequence[float] = (1.0,),
+    flip: bool = True,
 ) -> Dict[str, float]:
     """Normalized mean landmark error over IoU-matched faces.
+
+    With tta=True, detections come from the production TTA path
+    (batched_detect_tta merges flips/scales; flipped landmarks are
+    un-mirrored and pair-swapped device-side), so this measures the TTA
+    value for landmarks just as ap_on_records_tta does for boxes; `size`
+    is then unused (TTA sizes come from scales x the image's bucket).
 
     The standard 5-point detector metric (RetinaFace-style): for every
     VALID GT face with known landmarks (and min box side >= min_side in
@@ -202,8 +217,12 @@ def landmark_nme(
     """
     errs: List[float] = []
     eligible = matched = 0
-    for rec, d in zip(records, _detect_records(det, records, size,
-                                               score_thresh, batch)):
+    provider = (
+        _detect_records_tta(det, records, scales, flip, score_thresh, batch)
+        if tta
+        else _detect_records(det, records, size, score_thresh, batch)
+    )
+    for rec, d in zip(records, provider):
         if rec.landmarks is None or not len(rec.boxes):
             continue
         gt = rec.xyxy.astype(np.float64)
