@@ -297,3 +297,41 @@ def test_serve_cli_save_packed_requires_int8():
     with pytest.raises(SystemExit):
         serve_main(["--source", "synthetic", "--n-synthetic", "2",
                     "--size", "64", "--save-packed", "/tmp/x.npz"])
+
+
+def test_train_cli_retinaface_landmarks(tmp_path, monkeypatch):
+    """--gt-format retinaface + --landmarks: records parsed from label.txt
+    with landmark GT, and both configs carry the landmark switches."""
+    import cv2
+
+    images = tmp_path / "WIDER_train" / "images" / "0--Parade"
+    images.mkdir(parents=True)
+    cv2.imwrite(
+        str(images / "a.jpg"), np.zeros((80, 120, 3), np.uint8)
+    )
+    (tmp_path / "WIDER_train" / "label.txt").write_text(
+        "# 0--Parade/a.jpg\n"
+        "10 10 40 50 20 25 0.0 40 25 0.0 30 35 0.0 22 45 0.0 38 45 0.0 0.9\n"
+    )
+
+    import tpucenterface.train.loop as loop_mod
+
+    captured = {}
+
+    def fake_train(records, **kw):
+        captured["records"] = records
+        captured.update(kw)
+
+    monkeypatch.setattr(loop_mod, "train", fake_train)
+    from tpucenterface.cli.train import main
+
+    main([
+        "--wider-root", str(tmp_path), "--gt-format", "retinaface",
+        "--landmarks", "--freeze-bn", "7", "--workdir",
+        str(tmp_path / "run"), "--max-steps", "1",
+    ])
+    recs = captured["records"]
+    assert len(recs) == 1 and recs[0].landmarks.shape == (1, 10)
+    assert captured["train_cfg"].with_landmarks
+    assert captured["train_cfg"].freeze_bn_steps == 7
+    assert captured["model_cfg"].with_landmarks

@@ -34,17 +34,34 @@ def main(argv=None):
     p.add_argument("--bf16-bn", action="store_true",
                    help="bf16 BatchNorm activations (+26%% step throughput "
                    "measured on v5e; stats stay f32 — see PERFORMANCE.md)")
+    p.add_argument("--gt-format", choices=("bbx", "retinaface"), default="bbx",
+                   help="annotation format: the official bbx_gt txt, or the "
+                   "RetinaFace-distribution label.txt (carries 5-point "
+                   "landmarks; default path <root>/WIDER_train/label.txt)")
+    p.add_argument("--landmarks", action="store_true",
+                   help="train the optional 5-point landmark head (needs "
+                   "--gt-format retinaface for real landmark GT; records "
+                   "without landmarks still train boxes)")
+    p.add_argument("--freeze-bn", type=int, default=0,
+                   help="freeze BN to running averages after this step "
+                   "(0 = never; the flagship recipe uses 500)")
     args = p.parse_args(argv)
 
     from tpucenterface.config import ModelConfig, TrainConfig
-    from tpucenterface.data.wider import parse_bbx_gt
+    from tpucenterface.data.wider import parse_bbx_gt, parse_retinaface_gt
     from tpucenterface.train.loop import train
 
-    gt = args.gt_file or os.path.join(
-        args.wider_root, "wider_face_split", "wider_face_train_bbx_gt.txt"
-    )
     images = os.path.join(args.wider_root, "WIDER_train", "images")
-    records = parse_bbx_gt(gt, images)
+    if args.gt_format == "retinaface":
+        gt = args.gt_file or os.path.join(
+            args.wider_root, "WIDER_train", "label.txt"
+        )
+        records = parse_retinaface_gt(gt, images)
+    else:
+        gt = args.gt_file or os.path.join(
+            args.wider_root, "wider_face_split", "wider_face_train_bbx_gt.txt"
+        )
+        records = parse_bbx_gt(gt, images)
     print(f"[train] {len(records)} images")
 
     tcfg = TrainConfig(
@@ -54,6 +71,8 @@ def main(argv=None):
         lr=args.lr,
         ema_decay=args.ema_decay,
         grad_clip_norm=args.grad_clip,
+        freeze_bn_steps=args.freeze_bn,
+        with_landmarks=args.landmarks,
     )
 
     def log(step, m):
@@ -62,7 +81,8 @@ def main(argv=None):
     train(
         records,
         model_cfg=ModelConfig(
-            bn_compute_dtype="bfloat16" if args.bf16_bn else "float32"
+            bn_compute_dtype="bfloat16" if args.bf16_bn else "float32",
+            with_landmarks=args.landmarks,
         ),
         train_cfg=tcfg,
         workdir=args.workdir,
