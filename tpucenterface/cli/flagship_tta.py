@@ -43,12 +43,20 @@ def main(argv=None) -> int:
     p.add_argument("--scales", type=float, nargs="+", default=[0.7, 1.0])
     p.add_argument("--out", default=None,
                    help="default <workdir>/flagship_tta.json")
+    p.add_argument("--landmarks", action="store_true",
+                   help="weights carry the 5-point landmark head: the report "
+                   "gains single-scale and TTA landmark-NME rows (the TTA "
+                   "merge un-mirrors/pair-swaps landmarks device-side)")
     args = p.parse_args(argv)
 
     from tpucenterface.config import DecodeConfig, DetectorConfig, ModelConfig
     from tpucenterface.data.synth import generate_dataset
     from tpucenterface.detector import Detector
-    from tpucenterface.eval.synth_eval import ap_on_records, ap_on_records_tta
+    from tpucenterface.eval.synth_eval import (
+        ap_on_records,
+        ap_on_records_tta,
+        landmark_nme,
+    )
     from tpucenterface.weights.io import load_safetensors
 
     data_dir = args.data_dir or os.path.join(args.workdir, "data")
@@ -62,7 +70,7 @@ def main(argv=None) -> int:
     det = Detector(
         variables=load_safetensors(weights),
         config=DetectorConfig(
-            model=ModelConfig(),
+            model=ModelConfig(with_landmarks=args.landmarks),
             decode=DecodeConfig(max_dets=100),
             default_size=args.input_size,
         ),
@@ -87,6 +95,19 @@ def main(argv=None) -> int:
         "scales": list(args.scales),
         "ap": table,
     }
+    if args.landmarks:
+        # faces below ~25 px have landmark spacing near the stride-4 grid
+        # pitch — same eligibility floor train_flagship's NME row uses
+        nme = {
+            "single": landmark_nme(
+                det, val_recs, size=args.input_size, min_side=25.0
+            ),
+            "flip_multiscale": landmark_nme(
+                det, val_recs, tta=True, scales=args.scales, min_side=25.0
+            ),
+        }
+        report["nme"] = nme
+        print("nme:", json.dumps(nme))
     out = args.out or os.path.join(args.workdir, "flagship_tta.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
